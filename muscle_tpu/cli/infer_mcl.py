@@ -1,0 +1,61 @@
+"""CAM generation CLI (reference infer_mcl.py, flag-compatible).
+
+Writes {class_idx: (H, W) float16} npy dicts for the SGC maps (the
+reference saves the SGC fusion, infer_mcl.py:180-182) into <out_npy>_sgc/.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+from PIL import Image
+
+from muscle_tpu.cli.common import add_voc_args, load_lists, load_model_variables
+from muscle_tpu.data.voc12 import get_img_path
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--weights", type=str, required=True)
+    p.add_argument("--infer_list", default="data/train.txt", type=str)
+    p.add_argument("--out_npy", default=None, type=str)
+    p.add_argument("--save_cam", default=0, type=int, help="also save raw CAM dicts")
+    p.add_argument("--batch_size", default=8, type=int)
+    p.add_argument("--scales", default="0.5,1,1.5,2", type=str)
+    add_voc_args(p)
+    args = p.parse_args(argv)
+
+    from muscle_tpu.inference import CamTTAEngine
+    from muscle_tpu.models import MuSCLe
+
+    model = MuSCLe(
+        num_classes=args.num_classes, backbone_name="efficientnet-b3",
+        bifpn_layers=3, mode="enc", last_pooling=False,
+    )
+    variables = load_model_variables(args.weights, model, (1, 64, 64, 3), "cam")
+    scales = tuple(float(s) for s in args.scales.split(","))
+    engine = CamTTAEngine(model, variables, scales=scales, num_classes=args.num_classes)
+
+    names, labels = load_lists(args, args.infer_list)
+    if args.out_npy:
+        os.makedirs(args.out_npy + "_sgc", exist_ok=True)
+        if args.save_cam:
+            os.makedirs(args.out_npy, exist_ok=True)
+
+    bs = args.batch_size
+    for i in range(0, len(names), bs):
+        chunk = names[i : i + bs]
+        imgs = [Image.open(get_img_path(n, args.voc12_root)).convert("RGB") for n in chunk]
+        labs = [labels[n] for n in chunk]
+        for rec in engine.run_batch(imgs, chunk, labs):
+            if args.out_npy:
+                np.save(os.path.join(args.out_npy + "_sgc", rec["name"] + ".npy"), rec["sgc"])
+                if args.save_cam:
+                    np.save(os.path.join(args.out_npy, rec["name"] + ".npy"), rec["cam"])
+        print(f"{min(i + bs, len(names))}/{len(names)}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,79 @@
+"""Final segmentation inference CLI (reference infer_seg.py,
+flag-compatible): 6-scale x flip TTA, optional class gating and dense CRF,
+argmax PNG output.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+from PIL import Image
+
+from muscle_tpu.cli.common import add_voc_args, load_lists, load_model_variables
+from muscle_tpu.data.voc12 import get_img_path
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--weights", type=str, required=True)
+    p.add_argument("--infer_list", default="data/val.txt", type=str)
+    p.add_argument("--cls_dir", default=None, type=str)
+    p.add_argument("--out_seg", default=None, type=str)
+    p.add_argument("--crf", default=1, type=int)
+    p.add_argument("--crf_backend", default="xla", choices=["xla", "native"], type=str)
+    p.add_argument("--bifpn", default=3, type=int)
+    p.add_argument("--pretrained", default="b7", type=str)
+    p.add_argument("--batch_size", default=4, type=int)
+    add_voc_args(p)
+    args = p.parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from muscle_tpu.inference import SegTTAEngine
+    from muscle_tpu.models import MuSCLe
+    from muscle_tpu.ops import mean_field_crf
+
+    model = MuSCLe(
+        num_classes=args.num_classes,
+        backbone_name="efficientnet-" + args.pretrained,
+        bifpn_layers=args.bifpn, mode="dec", last_pooling=True,
+    )
+    variables = load_model_variables(args.weights, model, (1, 64, 64, 3), "seg")
+    engine = SegTTAEngine(model, variables, num_classes=args.num_classes)
+
+    names, _ = load_lists(args, args.infer_list)
+    if args.out_seg:
+        os.makedirs(args.out_seg, exist_ok=True)
+
+    bs = args.batch_size
+    for i in range(0, len(names), bs):
+        chunk = names[i : i + bs]
+        imgs = [Image.open(get_img_path(n, args.voc12_root)).convert("RGB") for n in chunk]
+        gates = None
+        if args.cls_dir:
+            gates = [
+                np.load(os.path.join(args.cls_dir, n + ".npy"), allow_pickle=True).squeeze()
+                for n in chunk
+            ]
+        for j, rec in enumerate(engine.run_batch(imgs, chunk, gates)):
+            probs = rec["probs"]
+            if args.crf:
+                orig = np.asarray(imgs[j])
+                if args.crf_backend == "native":
+                    from muscle_tpu.ops.exact_crf import dense_crf
+
+                    probs = dense_crf(orig, probs.transpose(2, 0, 1), t=4).transpose(1, 2, 0)
+                else:
+                    probs = np.asarray(
+                        mean_field_crf(jnp.asarray(probs), jnp.asarray(orig), t=4)
+                    )
+            if args.out_seg:
+                pred = np.argmax(probs, axis=-1).astype(np.uint8)
+                Image.fromarray(pred).save(os.path.join(args.out_seg, rec["name"] + ".png"))
+        print(f"{min(i + bs, len(names))}/{len(names)}")
+
+
+if __name__ == "__main__":
+    main()

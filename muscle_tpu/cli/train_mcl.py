@@ -1,0 +1,136 @@
+"""MCL contrastive classifier training CLI (reference train_mcl.py,
+flag-compatible), running on a data-parallel device mesh.
+
+Curriculum (reference train_mcl.py:152-229): epochs 0-3 classification
+losses only; +IMC from epoch 4; +PixPro second step from epoch 8; +EMD
+from epoch 12.  Epoch-end: checkpoint, rapid CAM eval over bg thresholds
+0.20-0.50, ReduceLROnPlateau on the best mIoU.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from muscle_tpu.cli.common import add_voc_args, load_lists, load_model_variables
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch_size", default=16, type=int)
+    p.add_argument("--max_epoches", default=16, type=int)
+    p.add_argument("--lr", default=1e-4, type=float)
+    p.add_argument("--wt_dec", default=5e-5, type=float)
+    p.add_argument("--train_list", default="data/train_aug.txt", type=str)
+    p.add_argument("--eval_list", default="data/train.txt", type=str)
+    p.add_argument("--session_name", default="runs/EffSeg_mcl", type=str)
+    p.add_argument("--crop_size", default=448, type=int)
+    p.add_argument("--weights", default=None, type=str)
+    p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--log_dir", default="logs/mcl", type=str)
+    add_voc_args(p)
+    args = p.parse_args(argv)
+
+    import jax
+
+    from muscle_tpu.data import PrefetchLoader, VOC12ClsPixDataset
+    from muscle_tpu.models import MuSCLe
+    from muscle_tpu.parallel import make_mesh, replicate, shard_batch
+    from muscle_tpu.training import (
+        MCLConfig,
+        ReduceLROnPlateau,
+        create_train_state,
+        mcl_train_step,
+        mcl_views_step,
+    )
+    from muscle_tpu.training.state import make_adam, save_checkpoint, set_learning_rate
+    from muscle_tpu.utils import MetricLogger, Timer
+
+    names, labels = load_lists(args, args.train_list)
+    dataset = VOC12ClsPixDataset(names, args.voc12_root, labels, crop_size=args.crop_size)
+    loader = PrefetchLoader(
+        dataset,
+        args.batch_size,
+        seed=args.seed,
+        num_threads=args.num_workers,
+        shard=(jax.process_index(), jax.process_count()),
+    )
+
+    model = MuSCLe(
+        num_classes=args.num_classes, backbone_name="efficientnet-b3",
+        bifpn_layers=3, mode="enc", last_pooling=False,
+    )
+    variables = load_model_variables(
+        args.weights, model, (1, args.crop_size, args.crop_size, 3), "cam"
+    )
+    tx = make_adam(args.lr, args.wt_dec)
+    state = create_train_state(variables, tx)
+
+    mesh = make_mesh()
+    state = replicate(mesh, state)
+    sched = ReduceLROnPlateau(args.lr, factor=0.5, patience=0, min_lr=1e-5)
+    os.makedirs(args.session_name, exist_ok=True)
+    mlog = MetricLogger(os.path.join(args.log_dir, "metrics.jsonl"))
+    timer = Timer()
+    rng = jax.random.key(args.seed)
+
+    with mesh:
+        for ep in range(args.max_epoches):
+            cfg = MCLConfig(use_imc=ep >= 4, use_pixpro=ep >= 8, use_emd=ep >= 12)
+            for it, batch in enumerate(loader.epoch(ep)):
+                rng, r1, r2 = jax.random.split(rng, 3)
+                dev = shard_batch(mesh, batch)
+                state, metrics = mcl_train_step(model, tx, state, dev, r1, cfg)
+                if cfg.use_pixpro:
+                    state, m2 = mcl_views_step(model, tx, state, dev, r2, cfg)
+                    metrics.update(m2)
+                if it % 25 == 0:
+                    vals = {k: float(v) for k, v in metrics.items()}
+                    ips = (it + 1) * args.batch_size / timer.stage_elapsed()
+                    print(f"ep {ep} it {it} " + " ".join(f"{k}:{v:.4f}" for k, v in vals.items())
+                          + f" imps:{ips:.1f} lr:{sched.lr:.7f}")
+                    mlog.log(int(state.step), **vals, imps=ips, lr=sched.lr)
+
+            save_checkpoint(args.session_name, state, ep)
+            miou = _rapid_eval(args, model, state)
+            print(f"epoch {ep} best train-CAM mIoU {miou:.3f}")
+            new_lr = sched.step(miou)
+            state = set_learning_rate(state, new_lr)
+            timer.reset_stage()
+    mlog.close()
+
+
+def _rapid_eval(args, model, state) -> float:
+    """Epoch-end CAM eval (reference train_mcl.py:286-318): single-scale
+    maxnormed SGC maps over the eval list, best mIoU across bg thresholds
+    0.20..0.50 step 0.02."""
+    import jax
+
+    from muscle_tpu.evaluation import threshold_sweep
+    from muscle_tpu.inference import CamTTAEngine
+    from muscle_tpu.data.voc12 import get_img_path
+    from PIL import Image
+
+    names, labels = load_lists(args, args.eval_list)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    engine = CamTTAEngine(model, variables, scales=(1.0,), num_classes=args.num_classes)
+
+    outdir = "./training_eval"
+    os.makedirs(outdir, exist_ok=True)
+    bs = 8
+    for i in range(0, len(names), bs):
+        chunk = names[i : i + bs]
+        imgs = [Image.open(get_img_path(n, args.voc12_root)).convert("RGB") for n in chunk]
+        labs = [labels[n] for n in chunk]
+        for rec in engine.run_batch(imgs, chunk, labs):
+            np.save(os.path.join(outdir, rec["name"] + ".npy"), rec["sgc"])
+
+    gt = os.path.join(args.voc12_root, "SegmentationClass")
+    results = threshold_sweep(outdir, gt, names, np.arange(0.20, 0.52, 0.02))
+    return max(r["mIoU"] for r in results)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,130 @@
+"""MuSCLe segmentation training CLI (reference train_muscle.py,
+flag-compatible): EfficientNet-b7 + BiFPN on soft pseudo-labels with CE +
+BEACON field loss, epoch-end val mIoU driving ReduceLROnPlateau.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from muscle_tpu.cli.common import add_voc_args, load_lists, load_model_variables
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch_size", default=6, type=int)
+    p.add_argument("--max_epoches", default=8, type=int)
+    p.add_argument("--lr", default=1e-5, type=float)
+    p.add_argument("--wt_dec", default=1e-5, type=float)
+    p.add_argument("--train_list", default="data/train_aug.txt", type=str)
+    p.add_argument("--eval_list", default="data/val.txt", type=str)
+    p.add_argument("--session_name", default="runs/muscle", type=str)
+    p.add_argument("--crop_size", default=448, type=int)
+    p.add_argument("--weights", default=None, type=str)
+    p.add_argument("--mask_root", type=str, required=True)
+    p.add_argument("--k", default=128, type=int)
+    p.add_argument("--step", default=7, type=int)
+    p.add_argument("--lamb", default=5e-2, type=float)
+    p.add_argument("--crf", default=0, type=int)
+    p.add_argument("--seed", default=221, type=int)
+    p.add_argument("--pretrained", default="b7", type=str)
+    p.add_argument("--bifpn", default=3, type=int)
+    p.add_argument("--log_dir", default="logs/muscle", type=str)
+    add_voc_args(p)
+    args = p.parse_args(argv)
+
+    import jax
+
+    from muscle_tpu.data import PrefetchLoader, VOC12SegDataset
+    from muscle_tpu.models import MuSCLe
+    from muscle_tpu.parallel import make_mesh, replicate, shard_batch
+    from muscle_tpu.training import ReduceLROnPlateau, SegConfig, create_train_state, seg_train_step
+    from muscle_tpu.training.state import make_adam, save_checkpoint, set_learning_rate
+    from muscle_tpu.utils import MetricLogger, Timer
+
+    names, labels = load_lists(args, args.train_list)
+    dataset = VOC12SegDataset(
+        names, args.voc12_root, labels, args.mask_root,
+        min_scale=0.5, max_scale=1.75, crop_size=args.crop_size, mask_type="soft",
+        num_classes=args.num_classes,
+    )
+    loader = PrefetchLoader(
+        dataset, args.batch_size, seed=args.seed, num_threads=args.num_workers,
+        shard=(jax.process_index(), jax.process_count()),
+    )
+
+    model = MuSCLe(
+        num_classes=args.num_classes,
+        backbone_name="efficientnet-" + args.pretrained,
+        bifpn_layers=args.bifpn, mode="dec", last_pooling=True,
+    )
+    variables = load_model_variables(
+        args.weights, model, (1, args.crop_size, args.crop_size, 3), "seg"
+    )
+    tx = make_adam(args.lr, args.wt_dec)
+    state = create_train_state(variables, tx)
+
+    mesh = make_mesh()
+    state = replicate(mesh, state)
+    sched = ReduceLROnPlateau(args.lr, factor=0.5, patience=0, min_lr=5e-6)
+    cfg = SegConfig(lamb=args.lamb, step=args.step, k=args.k)
+    os.makedirs(args.session_name, exist_ok=True)
+    mlog = MetricLogger(os.path.join(args.log_dir, "metrics.jsonl"))
+    timer = Timer()
+    rng = jax.random.key(args.seed)
+
+    with mesh:
+        for ep in range(args.max_epoches):
+            for it, batch in enumerate(loader.epoch(ep)):
+                rng, r1 = jax.random.split(rng)
+                state, metrics = seg_train_step(model, tx, state, shard_batch(mesh, batch), r1, cfg)
+                if it % 25 == 0:
+                    vals = {k: float(v) for k, v in metrics.items()}
+                    ips = (it + 1) * args.batch_size / timer.stage_elapsed()
+                    print(f"ep {ep} it {it} " + " ".join(f"{k}:{v:.4f}" for k, v in vals.items())
+                          + f" imps:{ips:.1f}")
+                    mlog.log(int(state.step), **vals, imps=ips, lr=sched.lr)
+
+            save_checkpoint(args.session_name, state, ep)
+            miou = _val_eval(args, model, state)
+            print(f"epoch {ep} val mIoU {miou:.3f}")
+            state = set_learning_rate(state, sched.step(miou))
+            timer.reset_stage()
+    mlog.close()
+
+
+def _val_eval(args, model, state) -> float:
+    """Single-scale val mIoU (reference train_muscle.py:224-283)."""
+    import os
+
+    from PIL import Image
+
+    from muscle_tpu.data.voc12 import get_img_path
+    from muscle_tpu.evaluation import confusion_matrix, iou_from_confusion
+    from muscle_tpu.inference import SegTTAEngine
+
+    names, _ = load_lists(args, args.eval_list)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    engine = SegTTAEngine(model, variables, scales=(1.0,), num_classes=args.num_classes)
+
+    conf = np.zeros((args.num_classes, args.num_classes), np.int64)
+    bs = 4
+    for i in range(0, len(names), bs):
+        chunk = names[i : i + bs]
+        imgs = [Image.open(get_img_path(n, args.voc12_root)).convert("RGB") for n in chunk]
+        for rec in engine.run_batch(imgs, chunk):
+            gt = np.array(
+                Image.open(
+                    os.path.join(args.voc12_root, "SegmentationClass", rec["name"] + ".png")
+                )
+            )
+            pred = np.argmax(rec["probs"], axis=-1)
+            conf += confusion_matrix(pred, gt, args.num_classes)
+    return iou_from_confusion(conf)["mIoU"]
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,172 @@
+"""Bilinear resize as MXU matmuls, with exact PyTorch corner semantics.
+
+The reference relies on ``torch.nn.functional.interpolate`` with BOTH corner
+conventions (align_corners=True inside the model, e.g. src/MuSCLe.py:215,249,
+256-257; align_corners=False in the IRN refinement path, infer_irn.py:76-79).
+``jax.image.resize`` only provides half-pixel sampling, so we build the 1-D
+interpolation matrices ourselves (numpy, at trace time — shapes are static
+under jit) and apply them as two dense contractions:
+
+    out[n, I, J, c] = W_h[I, h] * x[n, h, w, c] * W_w[J, w]
+
+On TPU this maps straight onto the MXU and fuses with surrounding ops,
+instead of the gather-based lowering a naive ``map_coordinates`` would take.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=256)
+def _interp_matrix(in_size: int, out_size: int, align_corners: bool) -> np.ndarray:
+    """(out_size, in_size) row-stochastic bilinear interpolation matrix."""
+    w = np.zeros((out_size, in_size), dtype=np.float32)
+    if in_size == 1:
+        w[:, 0] = 1.0
+        return w
+    dst = np.arange(out_size, dtype=np.float64)
+    if align_corners:
+        if out_size == 1:
+            src = np.zeros((1,), dtype=np.float64)
+        else:
+            src = dst * (in_size - 1) / (out_size - 1)
+    else:
+        src = (dst + 0.5) * in_size / out_size - 0.5
+        src = np.clip(src, 0.0, in_size - 1)
+    lo = np.floor(src).astype(np.int64)
+    lo = np.clip(lo, 0, in_size - 2)
+    frac = src - lo
+    w[np.arange(out_size), lo] = 1.0 - frac
+    w[np.arange(out_size), lo + 1] = frac
+    return w
+
+
+def resize_bilinear(
+    x: jax.Array,
+    out_hw: tuple[int, int],
+    align_corners: bool = True,
+) -> jax.Array:
+    """Bilinearly resize the two spatial axes of an NHWC (or HWC/HW) array.
+
+    Matches ``torch.nn.functional.interpolate(mode='bilinear')`` for the
+    requested corner convention exactly (see tests/test_resize.py for the
+    parity check against torch on CPU).
+    """
+    squeeze_batch = False
+    squeeze_channel = False
+    if x.ndim == 2:
+        x = x[None, :, :, None]
+        squeeze_batch = squeeze_channel = True
+    elif x.ndim == 3:
+        x = x[None]
+        squeeze_batch = True
+    n, h, w, c = x.shape
+    oh, ow = out_hw
+    if (h, w) != (oh, ow):
+        wh = jnp.asarray(_interp_matrix(h, oh, align_corners), dtype=x.dtype)
+        ww = jnp.asarray(_interp_matrix(w, ow, align_corners), dtype=x.dtype)
+        # Two MXU contractions; XLA fuses the intermediate.  Interpolation
+        # weights are exact in f32, so force full-precision accumulation —
+        # default (bf16-ish) matmul precision visibly quantises the output.
+        hp = jax.lax.Precision.HIGHEST
+        x = jnp.einsum("Ih,nhwc->nIwc", wh, x, precision=hp)
+        x = jnp.einsum("Jw,nIwc->nIJc", ww, x, precision=hp)
+    if squeeze_channel:
+        x = x[..., 0]
+    if squeeze_batch:
+        x = x[0]
+    return x
+
+
+def resize_to(x: jax.Array, like: jax.Array, align_corners: bool = True) -> jax.Array:
+    """Resize ``x`` to the spatial shape of ``like`` (both NHWC)."""
+    return resize_bilinear(x, (like.shape[1], like.shape[2]), align_corners)
+
+
+def dynamic_window_resize(
+    fm: jax.Array,
+    src_box: jax.Array,
+    out_hw: tuple[int, int],
+    dst_hw: jax.Array | None = None,
+    align_corners: bool = True,
+    flip_x: bool = False,
+) -> jax.Array:
+    """Bilinearly sample a *dynamic* source window onto a static output grid.
+
+    Used where the reference resizes runtime-sized regions (ragged EMD crops,
+    TTA maps back to original image size): gather-based interpolation keeps
+    the shapes static while the geometry stays data-dependent.
+
+    Args:
+      fm: (H, W, C) source map.
+      src_box: (4,) int (row, col, h, w) window inside ``fm``.
+      out_hw: static output grid (oh, ow).
+      dst_hw: optional (2,) dynamic valid size inside the output grid; when
+        given, output pixel (I, J) samples as if resizing the window to
+        (dst_h, dst_w) — pixels beyond are clamped garbage the caller masks.
+        When None, the full (oh, ow) grid is the target size.
+      align_corners: True = torch align_corners semantics; False =
+        half-pixel centres (cv2.resize/PIL semantics).
+      flip_x: sample the window right-to-left (TTA un-flip fused into the
+        resize).
+    """
+    hh, ww, _ = fm.shape
+    oh, ow = out_hw
+    r = src_box[0].astype(jnp.float32)
+    c = src_box[1].astype(jnp.float32)
+    h = src_box[2].astype(jnp.float32)
+    w = src_box[3].astype(jnp.float32)
+    if dst_hw is None:
+        dh, dw = jnp.float32(oh), jnp.float32(ow)
+    else:
+        dh, dw = dst_hw[0].astype(jnp.float32), dst_hw[1].astype(jnp.float32)
+
+    def coords(start, size, dst, out_size, limit, flip):
+        i = jnp.arange(out_size, dtype=jnp.float32)
+        if flip:
+            i = dst - 1.0 - i
+        if align_corners:
+            scale = (size - 1.0) / jnp.maximum(dst - 1.0, 1.0)
+            src = start + i * scale
+        else:
+            src = start + (i + 0.5) * size / dst - 0.5
+        return jnp.clip(src, start, start + size - 1.0).clip(0.0, limit - 1.0)
+
+    ys = coords(r, h, dh, oh, hh, False)
+    xs = coords(c, w, dw, ow, ww, flip_x)
+
+    def gather_axis(arr, cs, axis):
+        lo = jnp.clip(jnp.floor(cs).astype(jnp.int32), 0, arr.shape[axis] - 2)
+        frac = cs - lo
+        a = jnp.take(arr, lo, axis=axis)
+        b = jnp.take(arr, lo + 1, axis=axis)
+        shape = [1] * arr.ndim
+        shape[axis] = -1
+        return a * (1 - frac.reshape(shape)) + b * frac.reshape(shape)
+
+    out = gather_axis(fm, ys, 0)
+    return gather_axis(out, xs, 1)
+
+
+def avg_pool_3x3_s2(x: jax.Array) -> jax.Array:
+    """3x3/stride-2/pad-1 average pool with count_include_pad=True.
+
+    Matches ``F.avg_pool2d(x, kernel_size=3, stride=2, padding=1)`` as used
+    by the BiFPN downsample path (reference src/MuSCLe.py:51,54): zero-pad,
+    window-sum, divide by the full kernel area (torch's default counts the
+    padded zeros).
+    """
+    summed = jax.lax.reduce_window(
+        x,
+        0.0,
+        jax.lax.add,
+        window_dimensions=(1, 3, 3, 1),
+        window_strides=(1, 2, 2, 1),
+        padding=((0, 0), (1, 1), (1, 1), (0, 0)),
+    )
+    return summed / 9.0

@@ -1,0 +1,87 @@
+"""Batched multi-scale + flip TTA producers.
+
+The reference's MSF datasets emit per-image python lists of 8-12 tensors
+consumed one-by-one at batch size 1 (reference src/data.py:336-365,
+infer_mcl.py:107-146) — the #1 throughput bottleneck.  Here TTA is a
+*batched* producer with two modes:
+
+* 'bucket' (fast path): each scale gets one static padded canvas (long
+  side of VOC is <=500, so scale s -> ceil(500*s/64)*64), images are
+  top-left-placed and the valid region is cropped after the forward.  One
+  compiled program per (scale, batch) shape serves the whole dataset.
+* 'exact' (parity path): images grouped by identical pixel shape, no
+  padding — bit-identical to the reference's per-image forwards, still
+  batched for the dominant VOC shapes (500x375 et al).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+from PIL import Image
+
+from muscle_tpu.data import transforms as T
+
+VOC_MAX_SIDE = 500
+
+
+def bucket_side(scale: float, max_side: int = VOC_MAX_SIDE, align: int = 64) -> int:
+    return int(math.ceil(max_side * scale / align)) * align
+
+
+MSF_BUCKETS = {s: bucket_side(s) for s in (0.5, 0.75, 1.0, 1.25, 1.5, 1.75, 2.0)}
+
+
+def scaled_size(w: int, h: int, scale: float) -> tuple[int, int]:
+    """PIL (w, h) after the reference's rounding (src/data.py:350-352)."""
+    return round(w * scale), round(h * scale)
+
+
+@dataclass
+class MSFBatch:
+    """One scale's device-ready TTA batch.
+
+    images: (2B, S, S, 3) float32 — orig at even indices, flipped at odd
+    (matching the reference's [img, flip] interleave, src/data.py:359-362).
+    sizes: (B, 2) int32 valid (h, w) per image inside the canvas.
+    """
+
+    scale: float
+    images: np.ndarray
+    sizes: np.ndarray
+    names: list[str]
+    orig_sizes: np.ndarray  # (B, 2) original (H, W)
+
+
+def msf_batch(
+    pil_images: list[Image.Image],
+    names: list[str],
+    scale: float,
+    canvas: int | None = None,
+) -> MSFBatch:
+    """Resize a batch of images to ``scale`` (CUBIC, like the reference),
+    normalise, and place orig+flip into a static canvas."""
+    b = len(pil_images)
+    side = canvas or bucket_side(scale)
+    out = np.zeros((2 * b, side, side, 3), np.float32)
+    sizes = np.zeros((b, 2), np.int32)
+    orig = np.zeros((b, 2), np.int32)
+    for i, img in enumerate(pil_images):
+        w, h = img.size
+        orig[i] = (h, w)
+        tw, th = scaled_size(w, h, scale)
+        arr = T.color_norm(np.asarray(img.resize((tw, th), resample=T.BICUBIC)))
+        out[2 * i, :th, :tw] = arr
+        out[2 * i + 1, :th, :tw] = arr[:, ::-1]
+        sizes[i] = (th, tw)
+    return MSFBatch(scale, out, sizes, list(names), orig)
+
+
+def group_by_shape(pil_images, names):
+    """'exact' mode grouping: indices of images sharing (w, h)."""
+    groups: dict[tuple[int, int], list[int]] = {}
+    for i, img in enumerate(pil_images):
+        groups.setdefault(img.size, []).append(i)
+    return groups

@@ -1,0 +1,169 @@
+"""Batched multi-scale + flip CAM generation (reference infer_mcl.py).
+
+The reference runs 8 sequential batch-1 forwards per image and fuses on CPU
+with cv2.  Here the whole TTA product is *batched*: each scale's (orig,
+flip) pairs run as one padded-canvas batch, the model's CAM/SGC maps are
+resized back to original image size ON DEVICE (gather-based dynamic resize,
+cv2 half-pixel semantics, un-flip fused in), and summed into a per-image
+accumulator.  One device->host transfer of the fused maps per batch.
+
+Fusion math matches infer_mcl.py:148-174: elementwise SUM over versions of
+the foreground channels, clip negatives, per-class min-max normalisation
+(with the reference's pre-normalisation zeroing of sub-min values), class
+gating by image labels, sigmoid of the mean score.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from muscle_tpu.core.resize import dynamic_window_resize
+from muscle_tpu.data.tta import msf_batch, bucket_side
+
+
+class CamTTAEngine:
+    """Runs MuSCLe 'cam' TTA over batches of PIL images.
+
+    Args:
+      model: MuSCLe module (mode='enc').
+      variables: flax variables (params + batch_stats).
+      scales: TTA scales (reference default [0.5, 1, 1.5, 2]).
+      out_side: static canvas for fused output maps (>= max image side).
+      max_side: dataset max long side (VOC: 500).
+    """
+
+    def __init__(
+        self,
+        model,
+        variables,
+        scales=(0.5, 1.0, 1.5, 2.0),
+        num_classes: int = 21,
+        out_side: int = 512,
+        max_side: int = 500,
+        dtype=jnp.float32,
+    ):
+        self.model = model
+        self.variables = variables
+        self.scales = tuple(scales)
+        self.num_classes = num_classes
+        self.out_side = out_side
+        self.max_side = max_side
+        self.dtype = dtype
+        self._scale_fn = {}
+
+    def _fn_for(self, scale: float, batch: int):
+        key = (scale, batch)
+        if key not in self._scale_fn:
+            canvas = bucket_side(scale, self.max_side)
+            model, variables = self.model, self.variables
+            out_side = self.out_side
+
+            @jax.jit
+            def run(images, sizes, orig_sizes):
+                """images (2B,S,S,3); sizes (B,2) scaled hw; orig (B,2) HW.
+
+                Returns cam_acc, sgc_acc (B, out, out, C) resized+unflipped,
+                and logits (2B, C).
+                """
+                cams, sgcs, _, logits = model.apply(variables, images, mode="cam")
+
+                def per_image(cam2, sgc2, size, orig):
+                    # cam2: (2, S, S, C) orig+flip at canvas res
+                    box = jnp.concatenate([jnp.zeros(2, jnp.int32), size])
+
+                    def resize(m, flip):
+                        return dynamic_window_resize(
+                            m,
+                            box,
+                            (out_side, out_side),
+                            dst_hw=orig,
+                            align_corners=False,
+                            flip_x=flip,
+                        )
+
+                    rows = jnp.arange(out_side)[:, None]
+                    cols = jnp.arange(out_side)[None, :]
+                    valid = ((rows < orig[0]) & (cols < orig[1]))[..., None]
+                    cam = (resize(cam2[0], False) + resize(cam2[1], True)) * valid
+                    sgc = (resize(sgc2[0], False) + resize(sgc2[1], True)) * valid
+                    return cam, sgc
+
+                b = sizes.shape[0]
+                cam_pairs = cams.reshape(b, 2, *cams.shape[1:])
+                sgc_pairs = sgcs.reshape(b, 2, *sgcs.shape[1:])
+                cam_acc, sgc_acc = jax.vmap(per_image)(cam_pairs, sgc_pairs, sizes, orig_sizes)
+                return cam_acc, sgc_acc, logits
+
+            self._scale_fn[key] = run
+        return self._scale_fn[key]
+
+    @functools.cached_property
+    def _fuse(self):
+        out_side, c = self.out_side, self.num_classes
+
+        @jax.jit
+        def fuse(cam_sum, sgc_sum, orig_sizes, logits_sum, n_versions):
+            """Per-class min-max fusion (infer_mcl.py:151-164).
+            cam_sum/sgc_sum: (B, out, out, C) summed over versions."""
+            rows = jnp.arange(out_side)[:, None]
+            cols = jnp.arange(out_side)[None, :]
+
+            def norm(m, orig):
+                valid = ((rows < orig[0]) & (cols < orig[1]))[..., None]
+                fg = jnp.where(m < 0, 0.0, m)[..., 1:]
+                big = jnp.where(valid, fg, -jnp.inf)
+                small = jnp.where(valid, fg, jnp.inf)
+                mx = jnp.max(big, axis=(0, 1), keepdims=True)
+                mn = jnp.min(small, axis=(0, 1), keepdims=True)
+                fg = jnp.where(fg < mn + 1e-6, 0.0, fg)
+                return (fg - mn - 1e-6) / (mx - mn + 1e-6) * valid
+
+            cam = jax.vmap(norm)(cam_sum, orig_sizes)
+            sgc = jax.vmap(norm)(sgc_sum, orig_sizes)
+            score = jax.nn.sigmoid(logits_sum[:, 1:] / n_versions)
+            return cam, sgc, score
+
+        return fuse
+
+    def run_batch(self, pil_images, names, labels) -> list[dict]:
+        """Returns per-image dicts: name, cam_dict/sgc_dict ({cls: (H, W)}
+        float16, labelled classes only) and score (20,) — the exact npy
+        artifact contract of infer_mcl.py:166-182."""
+        b = len(pil_images)
+        cam_sum = jnp.zeros((b, self.out_side, self.out_side, self.num_classes), self.dtype)
+        sgc_sum = jnp.zeros_like(cam_sum)
+        logits_sum = jnp.zeros((b, self.num_classes), self.dtype)
+        orig_sizes = None
+        for s in self.scales:
+            mb = msf_batch(pil_images, names, s, canvas=bucket_side(s, self.max_side))
+            fn = self._fn_for(s, b)
+            cam, sgc, logits = fn(
+                jnp.asarray(mb.images), jnp.asarray(mb.sizes), jnp.asarray(mb.orig_sizes)
+            )
+            cam_sum = cam_sum + cam
+            sgc_sum = sgc_sum + sgc
+            logits_sum = logits_sum + logits.reshape(b, 2, -1).sum(axis=1)
+            orig_sizes = mb.orig_sizes
+        cam, sgc, score = self._fuse(
+            cam_sum, sgc_sum, jnp.asarray(orig_sizes), logits_sum, 2 * len(self.scales)
+        )
+        cam, sgc, score = np.asarray(cam), np.asarray(sgc), np.asarray(score)
+
+        out = []
+        for i, name in enumerate(names):
+            hh, ww = orig_sizes[i]
+            lab = np.asarray(labels[i])
+            cam_dict = {
+                k: cam[i, :hh, :ww, k].astype(np.float16) for k in np.nonzero(lab > 1e-5)[0]
+            }
+            sgc_dict = {
+                k: sgc[i, :hh, :ww, k].astype(np.float16) for k in np.nonzero(lab > 1e-5)[0]
+            }
+            out.append(
+                {"name": name, "cam": cam_dict, "sgc": sgc_dict, "score": score[i]}
+            )
+        return out

@@ -1,0 +1,123 @@
+"""IRN random-walk pseudo-label refinement driver (reference infer_irn.py).
+
+TPU design: the edge map is padded with 1.0 to a STATIC grid before the
+random walk.  Padding with edge=1 gives zero affinity to/from pad vertices
+and zero CAM mass on them, so the walk restricted to the valid region is
+*exactly* the walk on the unpadded graph — one compiled program serves
+every image size in the dataset (the reference re-builds PathIndex and a
+fresh HW x HW matrix per image on CPU+GPU).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from muscle_tpu.core.resize import resize_bilinear
+from muscle_tpu.data import transforms as T
+from muscle_tpu.ops.random_walk import propagate_to_edge
+
+
+class RandomWalkRefiner:
+    """Refine CAM score dicts into pseudo-labels.
+
+    Args:
+      irn_model: EdgeDisplacement module.
+      variables: its flax variables.
+      beta, exp_times, bg_threshold: reference defaults 8 / 6 / 0.35
+        (infer_irn.py:23-27).
+      crop_size: IRN pad size (512); edge_grid: static walk grid
+        (crop_size // stride).
+    """
+
+    def __init__(
+        self,
+        irn_model,
+        variables,
+        beta: int = 8,
+        exp_times: int = 6,
+        bg_threshold: float = 0.35,
+        radius: int = 5,
+        crop_size: int = 512,
+        stride: int = 4,
+    ):
+        self.model = irn_model
+        self.variables = variables
+        self.beta = beta
+        self.exp_times = exp_times
+        self.bg_threshold = bg_threshold
+        self.radius = radius
+        self.crop_size = crop_size
+        self.stride = stride
+        self.grid = crop_size // stride  # static walk grid side
+
+    @functools.cached_property
+    def _refine(self):
+        model, variables = self.model, self.variables
+        grid, radius = self.grid, self.radius
+        beta, exp_times = self.beta, self.exp_times
+        stride, crop = self.stride, self.crop_size
+
+        @jax.jit
+        def refine(img_pair, cams, size):
+            """img_pair: (2, 512, 512, 3) normalised orig+flip (valid region
+            top-left, zeros elsewhere); cams: (20, 512, 512) CAM scores
+            placed top-left; size: (2,) valid (H, W).
+
+            Returns (21, 512, 512) bg-thresholded random-walk scores
+            (valid top-left window (H, W), bg channel 0).
+            """
+            edge, _ = model.apply(variables, img_pair, valid_hw=size)
+            # model crops to ((H-1)//stride+1); we run it on the full pad ->
+            # static (grid, grid). Re-mask to the valid feature window and
+            # set pad edges to 1 (walls).
+            eh = (size[0] - 1) // stride + 1
+            ew = (size[1] - 1) // stride + 1
+            rows = jnp.arange(grid)[:, None]
+            cols = jnp.arange(grid)[None, :]
+            fvalid = (rows < eh) & (cols < ew)
+            edge = jnp.where(fvalid, edge, 1.0)
+
+            # downscale CAMs to the walk grid (align_corners=False,
+            # infer_irn.py:76); source is the (H, W) window of the 512 pad,
+            # so a plain full-canvas resize keeps the geometry aligned.
+            cam_small = resize_bilinear(
+                cams.transpose(1, 2, 0), (grid, grid), align_corners=False
+            ).transpose(2, 0, 1)
+            cam_small = cam_small * fvalid[None]
+
+            rw = propagate_to_edge(
+                cam_small, edge, radius=radius, beta=beta, exp_times=exp_times
+            )
+            rw_up = resize_bilinear(
+                rw.transpose(1, 2, 0), (crop, crop), align_corners=False
+            ).transpose(2, 0, 1)
+            rw_up = rw_up / jnp.maximum(jnp.max(rw_up), 1e-12)
+            bg = jnp.full((1, crop, crop), self.bg_threshold, rw_up.dtype)
+            return jnp.concatenate([bg, rw_up], axis=0)
+
+        return refine
+
+    def refine_image(self, pil_image, cam_dict: dict) -> np.ndarray:
+        """One image end-to-end. Returns (H, W, 21) float32 scores
+        (bg channel = threshold), matching infer_irn.py:79-88."""
+        w, h = pil_image.size
+        arr = T.color_norm(np.asarray(pil_image)).astype(np.float32)
+        pair = np.zeros((2, self.crop_size, self.crop_size, 3), np.float32)
+        pair[0, :h, :w] = arr
+        pair[1, :h, :w] = arr[:, ::-1]
+
+        cams = np.zeros((20, self.crop_size, self.crop_size), np.float32)
+        for k, v in cam_dict.items():
+            cams[k, :h, :w] = np.asarray(v, np.float32)
+
+        out = self._refine(
+            jnp.asarray(pair), jnp.asarray(cams), jnp.asarray([h, w], jnp.int32)
+        )
+        return np.asarray(out)[:, :h, :w].transpose(1, 2, 0)
+
+    def to_png_labels(self, scores_hwc: np.ndarray) -> np.ndarray:
+        return np.argmax(scores_hwc, axis=-1).astype(np.uint8)

@@ -1,0 +1,94 @@
+"""Batched multi-scale segmentation TTA (reference infer_seg.py).
+
+Same batched-canvas design as CamTTAEngine, with the reference's seg
+fusion: softmax per version, resize to original size, MEAN over the 12
+versions (6 scales x flip — note CAM fusion uses SUM, seg uses MEAN,
+infer_seg.py:117), optional class gating from a classifier npy, optional
+dense-CRF refinement, argmax to a palettised PNG.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from muscle_tpu.core.resize import dynamic_window_resize
+from muscle_tpu.data.tta import msf_batch, bucket_side
+
+
+class SegTTAEngine:
+    def __init__(
+        self,
+        model,
+        variables,
+        scales=(0.5, 0.75, 1.0, 1.25, 1.5, 1.75),
+        num_classes: int = 21,
+        out_side: int = 512,
+        max_side: int = 500,
+    ):
+        self.model = model
+        self.variables = variables
+        self.scales = tuple(scales)
+        self.num_classes = num_classes
+        self.out_side = out_side
+        self.max_side = max_side
+        self._scale_fn = {}
+
+    def _fn_for(self, scale: float, batch: int):
+        key = (scale, batch)
+        if key not in self._scale_fn:
+            model, variables = self.model, self.variables
+            out_side = self.out_side
+
+            @jax.jit
+            def run(images, sizes, orig_sizes):
+                seg, _ = model.apply(variables, images, mode="seg")
+                probs = jax.nn.softmax(seg, axis=-1)
+
+                def per_image(pair, size, orig):
+                    box = jnp.concatenate([jnp.zeros(2, jnp.int32), size])
+
+                    def resize(m, flip):
+                        return dynamic_window_resize(
+                            m, box, (out_side, out_side), dst_hw=orig,
+                            align_corners=False, flip_x=flip,
+                        )
+
+                    rows = jnp.arange(out_side)[:, None]
+                    cols = jnp.arange(out_side)[None, :]
+                    valid = ((rows < orig[0]) & (cols < orig[1]))[..., None]
+                    return (resize(pair[0], False) + resize(pair[1], True)) * valid
+
+                b = sizes.shape[0]
+                pairs = probs.reshape(b, 2, *probs.shape[1:])
+                return jax.vmap(per_image)(pairs, sizes, orig_sizes)
+
+            self._scale_fn[key] = run
+        return self._scale_fn[key]
+
+    def run_batch(self, pil_images, names, cls_gates=None) -> list[dict]:
+        """Returns per-image {'name', 'probs' (H, W, C) float32} — the mean
+        TTA softmax BEFORE CRF (CRF and argmax are applied by the caller so
+        both the XLA and the exact C++ CRF backends can be used)."""
+        b = len(pil_images)
+        acc = jnp.zeros((b, self.out_side, self.out_side, self.num_classes), jnp.float32)
+        orig_sizes = None
+        for s in self.scales:
+            mb = msf_batch(pil_images, names, s, canvas=bucket_side(s, self.max_side))
+            fn = self._fn_for(s, b)
+            acc = acc + fn(
+                jnp.asarray(mb.images), jnp.asarray(mb.sizes), jnp.asarray(mb.orig_sizes)
+            )
+            orig_sizes = mb.orig_sizes
+        mean = np.asarray(acc) / (2 * len(self.scales))
+        out = []
+        for i, name in enumerate(names):
+            hh, ww = orig_sizes[i]
+            probs = mean[i, :hh, :ww]
+            if cls_gates is not None and cls_gates[i] is not None:
+                gate = np.asarray(cls_gates[i]).reshape(-1)
+                probs = probs.copy()
+                probs[..., 1:] *= gate[1:][None, None, :]
+            out.append({"name": name, "probs": probs})
+        return out

@@ -1,0 +1,164 @@
+"""MuSCLe core network (reference src/MuSCLe.py:156-311), Flax/NHWC.
+
+Wraps the EfficientNet pyramid, computes CAMs from the classifier weights,
+refines them with the Pixel Correlation Module (PCM, from SEAM), and in
+decoder mode runs the BiFPN + segmentation head.
+
+Forward modes (selected statically at trace time — each mode is its own XLA
+program, like the reference's if/elif chain at src/MuSCLe.py:227-298):
+
+  'logits' -> (emb, logits)
+  'cam'    -> (cams, sgc, emb, logits)     cams/sgc upsampled to input HxW
+  'pix'    -> (cams, sgc)
+  'seg'    -> (seg_map, dense_ft)          both at input HxW
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from muscle_tpu.core.resize import resize_bilinear, resize_to
+from muscle_tpu.models.bifpn import BiFPN
+from muscle_tpu.models.efficientnet import EfficientNet
+
+# Per-variant pyramid: (channels p1..p7, block indices p1..p7)
+# (reference src/MuSCLe.py:167-178).
+PYRAMID_TABLE = {
+    "efficientnet-b1": ((16, 24, 40, 80, 112, 192, 320), (1, 4, 7, 11, 15, 20, 22)),
+    "efficientnet-b3": ((24, 32, 48, 96, 136, 232, 384), (1, 4, 7, 12, 17, 23, 25)),
+    "efficientnet-b5": ((24, 40, 64, 128, 176, 304, 512), (2, 7, 12, 19, 26, 35, 38)),
+    "efficientnet-b7": ((32, 48, 80, 160, 224, 384, 640), (3, 10, 17, 27, 37, 50, 54)),
+}
+
+
+class _Classifier(nn.Module):
+    """Bias-free linear classifier whose kernel is directly addressable.
+
+    The reference computes CAMs from ``fc.weight.data`` even in modes that
+    never evaluate the logits (src/MuSCLe.py:244,265), so the kernel must be
+    accessible independent of a Dense call.
+    """
+
+    features_in: int
+    num_classes: int
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.features_in, self.num_classes),
+            self.dtype,
+        )
+
+    def __call__(self, emb: jax.Array) -> jax.Array:
+        return emb @ self.kernel
+
+
+class MuSCLe(nn.Module):
+    num_classes: int = 21
+    backbone_name: str = "efficientnet-b3"
+    bifpn_layers: int = 3
+    bifpn_channels: int = 256
+    last_pooling: bool = True
+    mode: str = "enc"  # 'enc' (classifier/CAM heads) or 'dec' (BiFPN decoder)
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        if self.backbone_name not in PYRAMID_TABLE:
+            raise ValueError(f"no pyramid table for {self.backbone_name}")
+        self.backbone = EfficientNet(
+            model_name=self.backbone_name,
+            last_pooling=self.last_pooling,
+            dtype=self.dtype,
+            name="backbone",
+        )
+        channels, self.p_seq = PYRAMID_TABLE[self.backbone_name]
+        p1_ch, _, p3_ch, _, p5_ch, _, p7_ch = channels
+        if self.mode == "enc":
+            # PCM embedding projection + classifier (reference :181-183).
+            self.fuse = nn.Conv(128, (1, 1), use_bias=True, dtype=self.dtype, name="fuse")
+            self.fc = _Classifier(p7_ch, self.num_classes, dtype=self.dtype, name="fc")
+        else:
+            self.bifpn = BiFPN(
+                channels=self.bifpn_channels,
+                num_layers=self.bifpn_layers,
+                last_pooling=self.last_pooling,
+                dtype=self.dtype,
+                name="BIFPN",
+            )
+        # Defined unconditionally in the reference (:187) — kept so that
+        # checkpoints trained in one mode load in the other.
+        self.fuse_dec = nn.Conv(
+            self.num_classes, (1, 1), use_bias=True, dtype=self.dtype, name="fuse_dec"
+        )
+
+    def _pyramid(self, x: jax.Array, train: bool):
+        feats = self.backbone(x, train=train)
+        return [feats[i] for i in self.p_seq]
+
+    def _cams(self, p7: jax.Array) -> jax.Array:
+        """CAM via the classifier weights (reference :242-247): the per-class
+        weighted sum of p7 channels.  The torch loop over the batch with
+        ``fc.weight.data`` is one einsum against the *detached* kernel here.
+        """
+        kernel = jax.lax.stop_gradient(self.fc.kernel)  # (C_in, num_cls)
+        cams = jnp.einsum("nhwc,ck->nhwk", p7, kernel)
+        return jax.nn.relu(cams)
+
+    def pcm(self, cam: jax.Array, f: jax.Array) -> jax.Array:
+        """Pixel Correlation Module (reference :213-223).
+
+        cam: (N, h, w, C) raw CAMs at p7 resolution.
+        f:   (N, h, w, F) detached fused features.
+        Returns the Spatially-Guided CAM (SGC), same shape as ``cam``.
+        """
+        n, h, w, _ = f.shape
+        cam = resize_bilinear(cam, (h, w), align_corners=True)
+        f = self.fuse(f)
+        f = f.reshape(n, h * w, -1)
+        f = f / (jnp.linalg.norm(f, axis=-1, keepdims=True) + 1e-5)
+        # Affinity: relu(f f^T) column-normalised (symmetric pre-norm, so the
+        # torch dim=1 sum is a column sum here too).
+        aff = jax.nn.relu(jnp.einsum("nid,njd->nij", f, f))
+        aff = aff / (jnp.sum(aff, axis=1, keepdims=True) + 1e-5)
+        cam_flat = cam.reshape(n, h * w, -1)
+        sgc = jnp.einsum("nik,nij->njk", cam_flat, aff)
+        return sgc.reshape(n, h, w, -1)
+
+    def __call__(self, x: jax.Array, mode: str = "cam", train: bool = False):
+        n, hh, ww, _ = x.shape
+        ps = self._pyramid(x, train)
+        p1, p2, p3, p4, p5, p6, p7 = ps
+
+        if mode == "logits":
+            emb = jnp.mean(p7, axis=(1, 2))
+            return emb, self.fc(emb)
+
+        if mode in ("cam", "pix"):
+            cams = self._cams(p7)
+            f1 = jax.nn.relu(resize_to(p1, p7, align_corners=True))
+            f2 = jax.nn.relu(resize_to(p3, p7, align_corners=True))
+            f3 = jax.nn.relu(p5)
+            fs = jax.lax.stop_gradient(jnp.concatenate([f1, f2, f3], axis=-1))
+            sgc = self.pcm(cams, fs)
+            cams = resize_bilinear(cams, (hh, ww), align_corners=True)
+            sgc = resize_bilinear(sgc, (hh, ww), align_corners=True)
+            if mode == "pix":
+                return cams, sgc
+            emb = jnp.mean(p7, axis=(1, 2))
+            return cams, sgc, emb, self.fc(emb)
+
+        if mode in ("seg", "vis"):
+            p3_dec = self.bifpn([p3, p4, p5, p6, p7], train=train)[0]
+            dense_ft = resize_bilinear(p3_dec, (hh, ww), align_corners=True)
+            seg_map = self.fuse_dec(dense_ft)
+            if mode == "vis":
+                return seg_map, p7
+            return seg_map, dense_ft
+
+        raise ValueError(f"unknown mode {mode!r}")

@@ -1,0 +1,8 @@
+from muscle_tpu.ops.random_walk import (
+    PathIndex,
+    edge_to_affinity,
+    affinity_to_dense,
+    to_transition_matrix,
+    propagate_to_edge,
+)
+from muscle_tpu.ops.crf import mean_field_crf

@@ -1,0 +1,155 @@
+"""Mean-field dense-CRF post-processing in XLA (replaces pydensecrf).
+
+The reference calls the Krähenbühl C++ DenseCRF through pydensecrf on CPU
+(src/imutils.py:439-456): unary from a confidence-mixed softmax, one
+Gaussian smoothness kernel and one bilateral appearance kernel, Potts
+compatibility, t mean-field iterations.
+
+TPU re-design:
+  * the Gaussian kernel is an *exact* separable Gaussian blur (truncated at
+    3 sigma) — dense pairwise Gaussian filtering over all pixel pairs;
+  * the bilateral kernel uses a splat-blur-slice bilateral grid over
+    (y, x, r, g, b) — the standard O(N) approximation of the permutohedral
+    lattice, with grid spacing = the kernel sigmas.  Accuracy is controlled
+    by ``color_bins`` (memory ~ spatial_cells * color_bins^3 * labels).
+
+A bit-accurate CPU reference (native C++ permutohedral, like the library
+the reference links against) lives in muscle_tpu.ops.exact_crf for
+verification; this module is the fast on-device path and is gated on mIoU
+delta, not bitwise parity.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _gaussian_kernel_1d(sigma: float) -> np.ndarray:
+    radius = max(1, int(math.ceil(3.0 * sigma)))
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    k = np.exp(-(x * x) / (2.0 * sigma * sigma))
+    return k.astype(np.float32)
+
+
+def _blur_axis(x: jax.Array, kernel: np.ndarray, axis: int) -> jax.Array:
+    """Correlate along one axis with zero padding (no normalisation — dense
+    CRF kernels are unnormalised affinities)."""
+    k = jnp.asarray(kernel)
+    moved = jnp.moveaxis(x, axis, -1)
+    shape = moved.shape
+    flat = moved.reshape(-1, 1, shape[-1])  # (B, C=1, W)
+    pad = (len(kernel) - 1) // 2
+    out = jax.lax.conv_general_dilated(
+        flat,
+        k.reshape(1, 1, -1),
+        window_strides=(1,),
+        padding=((pad, pad),),
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )
+    return jnp.moveaxis(out.reshape(shape), -1, axis)
+
+
+def _gaussian_filter(q: jax.Array, sigma: float) -> jax.Array:
+    """Separable spatial Gaussian over (H, W) of (H, W, L)."""
+    k = _gaussian_kernel_1d(sigma)
+    q = _blur_axis(q, k, 0)
+    q = _blur_axis(q, k, 1)
+    return q
+
+
+def _bilateral_filter(
+    q: jax.Array,
+    guide: jax.Array,
+    sxy: float,
+    srgb: float,
+    color_bins: int,
+) -> jax.Array:
+    """Bilateral filtering via a 5-D bilateral grid (splat, blur, slice).
+
+    q: (H, W, L) values; guide: (H, W, 3) uint8-range colours.
+    """
+    h, w, l = q.shape
+    gh = int(math.ceil(h / sxy)) + 3
+    gw = int(math.ceil(w / sxy)) + 3
+    gc = color_bins + 3
+    color_sigma_cells = srgb / (256.0 / color_bins)
+
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None] / sxy + 1.5
+    xs = jnp.arange(w, dtype=jnp.float32)[None, :] / sxy + 1.5
+    cs = guide / (256.0 / color_bins) + 1.5  # (H, W, 3)
+
+    coords = [
+        jnp.broadcast_to(ys, (h, w)),
+        jnp.broadcast_to(xs, (h, w)),
+        cs[..., 0],
+        cs[..., 1],
+        cs[..., 2],
+    ]
+    dims = (gh, gw, gc, gc, gc)
+
+    # Nearest-cell splat/slice (multilinear would be 32 scatter/gathers; the
+    # subsequent grid blur dominates the approximation error budget anyway).
+    idx = [jnp.clip(jnp.round(c).astype(jnp.int32), 0, d - 1) for c, d in zip(coords, dims)]
+    flat_idx = (((idx[0] * gw + idx[1]) * gc + idx[2]) * gc + idx[3]) * gc + idx[4]
+    flat_idx = flat_idx.reshape(-1)
+
+    grid = jnp.zeros((gh * gw * gc * gc * gc, l), dtype=q.dtype)
+    grid = grid.at[flat_idx].add(q.reshape(-1, l))
+    grid = grid.reshape(*dims, l)
+
+    # Blur each grid dimension with a unit-sigma Gaussian (grid spacing ==
+    # kernel sigma for the spatial dims; colour sigma in cell units).
+    k_sp = _gaussian_kernel_1d(1.0)
+    k_cl = _gaussian_kernel_1d(max(color_sigma_cells, 1e-3))
+    for axis, k in ((0, k_sp), (1, k_sp), (2, k_cl), (3, k_cl), (4, k_cl)):
+        grid = _blur_axis(grid, k, axis)
+
+    out = grid.reshape(-1, l)[flat_idx]
+    return out.reshape(h, w, l)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("t", "scale_factor", "color_bins", "confidence")
+)
+def mean_field_crf(
+    probs: jax.Array,
+    image: jax.Array,
+    t: int = 2,
+    scale_factor: float = 1.5,
+    sxy_gaussian: float = 3.0,
+    compat_gaussian: float = 1.0,
+    sxy_bilateral: float = 32.0,
+    srgb: float = 10.0,
+    compat_bilateral: float = 10.0,
+    confidence: float = 0.5,
+    color_bins: int = 12,
+) -> jax.Array:
+    """Dense-CRF mean field matching reference crf_inference defaults
+    (src/imutils.py:439-456, called with t=4 at infer_seg.py:129).
+
+    Args:
+      probs: (H, W, L) class probabilities (softmax output).
+      image: (H, W, 3) original RGB image, 0..255.
+    Returns refined (H, W, L) distribution.
+    """
+    h, w, l = probs.shape
+    # unary_from_softmax(probs, scale=confidence)
+    mixed = confidence * probs + (1.0 - confidence) / l
+    neg_unary = jnp.log(jnp.clip(mixed, 1e-20, None))
+
+    sg = sxy_gaussian / scale_factor
+    sb = sxy_bilateral / scale_factor
+    guide = image.astype(jnp.float32)
+
+    q = jax.nn.softmax(neg_unary, axis=-1)
+    for _ in range(t):
+        msg_g = _gaussian_filter(q, sg) - q  # remove self contribution
+        msg_b = _bilateral_filter(q, guide, sb, srgb, color_bins) - q
+        pairwise = compat_gaussian * msg_g + compat_bilateral * msg_b
+        q = jax.nn.softmax(neg_unary + pairwise, axis=-1)
+    return q

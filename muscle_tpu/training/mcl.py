@@ -1,0 +1,143 @@
+"""MCL contrastive-classifier training steps (reference train_mcl.py:152-229).
+
+The reference takes TWO optimizer steps per iteration:
+
+  step A — full image, mode 'cam' (train): focal + soft-margin + LSEP
+           + ER top-k (+ IMC from epoch 4); updates BN running stats.
+  step B — from epoch 8: view1 through mode 'pix' *in eval mode but with
+           grad*, view2 no-grad; PixPro (+ EMD from epoch 12).
+
+Here each step is its own jitted function over the data-parallel mesh; the
+curriculum phase is a static argument (one compile per phase).  Gradients
+reduce over the 'data' axis automatically under jit-with-shardings.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from muscle_tpu.core import attach_bg_channel, cam_maxnorm, cam_softmaxnorm
+from muscle_tpu.losses import (
+    dynamic_matching_emd,
+    er_topk_loss,
+    focal_loss,
+    image_level_contrast,
+    lsep_loss,
+    pixpro_loss,
+    soft_margin_loss,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class MCLConfig:
+    use_imc: bool = False  # epoch >= 4
+    use_pixpro: bool = False  # epoch >= 8
+    use_emd: bool = False  # epoch >= 12
+
+
+@functools.partial(jax.jit, static_argnames=("model", "tx", "cfg"), donate_argnums=(2,))
+def mcl_train_step(model, tx, state, batch, rng, cfg: MCLConfig):
+    """Step A.  batch: img (N,H,W,3), label (N,20).  Returns (state, metrics)."""
+    label = batch["label"]
+    label_bg = attach_bg_channel(label)
+    valid_channels = jnp.sum(label)
+
+    def loss_fn(params):
+        (raw_cams, raw_sgcs, emb, logits), new_model_state = model.apply(
+            {"params": params, "batch_stats": state.batch_stats},
+            batch["img"],
+            mode="cam",
+            train=True,
+            mutable=["batch_stats"],
+            rngs={"dropout": rng},
+        )
+        probs_fg = jax.nn.sigmoid(logits[:, 1:])
+        l_focal = focal_loss(probs_fg, label)
+        l_margin = soft_margin_loss(logits[:, 1:], label)
+        l_pair = jnp.mean(lsep_loss(probs_fg, label))
+        l_cls = l_focal + l_margin + l_pair
+
+        cams = jax.lax.stop_gradient(cam_softmaxnorm(raw_cams)) * label_bg[:, None, None, :]
+        sgcs = cam_softmaxnorm(raw_sgcs) * label_bg[:, None, None, :]
+        l_er = er_topk_loss(cams, sgcs, valid_channels)
+
+        loss = l_cls + l_er
+        l_imc = jnp.float32(0.0)
+        if cfg.use_imc:
+            l_imc = image_level_contrast(emb, label)
+            loss = loss + l_imc
+        metrics = {
+            "loss": loss,
+            "loss_focal": l_focal,
+            "loss_softmargin": l_margin,
+            "loss_pair": l_pair,
+            "loss_er": l_er,
+            "loss_imc": l_imc,
+        }
+        return loss, (new_model_state, metrics)
+
+    grads, (new_model_state, metrics) = jax.grad(loss_fn, has_aux=True)(state.params)
+    updates, new_opt = tx.update(grads, state.opt_state, state.params)
+    new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+    new_state = state.replace(
+        step=state.step + 1,
+        params=new_params,
+        batch_stats=new_model_state["batch_stats"],
+        opt_state=new_opt,
+    )
+    return new_state, metrics
+
+
+@functools.partial(jax.jit, static_argnames=("model", "tx", "cfg"), donate_argnums=(2,))
+def mcl_views_step(model, tx, state, batch, rng, cfg: MCLConfig):
+    """Step B (PixPro + EMD).  Uses eval-mode forwards (frozen BN stats, no
+    drop-connect) exactly like the reference's model.eval() at
+    train_mcl.py:203, but keeps gradients for view1."""
+    label_bg = attach_bg_channel(batch["label"])
+
+    def loss_fn(params):
+        _, sgcs_vw1 = model.apply(
+            {"params": params, "batch_stats": state.batch_stats},
+            batch["view1"],
+            mode="pix",
+            train=False,
+        )
+        cams_vw2, _ = model.apply(
+            {"params": params, "batch_stats": state.batch_stats},
+            batch["view2"],
+            mode="pix",
+            train=False,
+        )
+        cams_vw2 = jax.lax.stop_gradient(cams_vw2)
+
+        lb = label_bg[:, None, None, :]
+        l_pixpro = pixpro_loss(
+            cam_maxnorm(sgcs_vw1) * lb,
+            cam_maxnorm(cams_vw2) * lb,
+            batch["coord1"],
+            batch["coord2"],
+        )
+        loss = l_pixpro
+        l_emd = jnp.float32(0.0)
+        if cfg.use_emd:
+            vw1 = cam_softmaxnorm(sgcs_vw1)
+            vw2 = cam_softmaxnorm(cams_vw2)
+            # F.normalize over the class dim (train_mcl.py:218-219)
+            vw1 = vw1 / jnp.maximum(jnp.linalg.norm(vw1, axis=-1, keepdims=True), 1e-12)
+            vw2 = vw2 / jnp.maximum(jnp.linalg.norm(vw2, axis=-1, keepdims=True), 1e-12)
+            l_emd = dynamic_matching_emd(
+                vw1, jax.lax.stop_gradient(vw2), batch["coord1"], batch["coord2"], rng
+            )
+            loss = loss + l_emd
+        return loss, {"loss_pixpro": l_pixpro, "loss_emd": l_emd}
+
+    grads, metrics = jax.grad(loss_fn, has_aux=True)(state.params)
+    updates, new_opt = tx.update(grads, state.opt_state, state.params)
+    new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+    new_state = state.replace(step=state.step + 1, params=new_params, opt_state=new_opt)
+    return new_state, metrics

@@ -1,0 +1,76 @@
+"""MuSCLe segmentation training step (reference train_muscle.py:168-203).
+
+Cross-entropy on the argmax of the soft pseudo-mask plus the BEACON field
+loss, global-norm gradient clipping at 9, Adam(1e-5, wd 1e-5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from muscle_tpu.core import attach_bg_channel
+from muscle_tpu.losses import FieldLossConfig, field_loss
+
+
+@dataclasses.dataclass(frozen=True)
+class SegConfig:
+    lamb: float = 5e-2  # BEACON weight (train_muscle.py --lamb)
+    step: int = 7
+    k: int = 128
+    beta: float = 1e2
+    clip_norm: float = 9.0
+
+
+def cross_entropy(seg_logits: jax.Array, hard_mask: jax.Array) -> jax.Array:
+    """torch CrossEntropyLoss(logits NHWC, labels NHW), mean over pixels."""
+    logp = jax.nn.log_softmax(seg_logits, axis=-1)
+    picked = jnp.take_along_axis(logp, hard_mask[..., None], axis=-1)[..., 0]
+    return -jnp.mean(picked)
+
+
+@functools.partial(jax.jit, static_argnames=("model", "tx", "cfg"), donate_argnums=(2,))
+def seg_train_step(model, tx, state, batch, rng, cfg: SegConfig):
+    """batch: img (N,H,W,3), mask (N,H,W,C) soft, label (N,20)."""
+    label_bg = attach_bg_channel(batch["label"])
+    hard_mask = jnp.argmax(batch["mask"], axis=-1)
+
+    def loss_fn(params):
+        (seg_map, dense_ft), new_model_state = model.apply(
+            {"params": params, "batch_stats": state.batch_stats},
+            batch["img"],
+            mode="seg",
+            train=True,
+            mutable=["batch_stats"],
+            rngs={"dropout": rng},
+        )
+        l1 = cross_entropy(seg_map, hard_mask)
+        l2 = jnp.float32(0.0)
+        if cfg.lamb > 0:
+            flc = FieldLossConfig(
+                num_classes=seg_map.shape[-1], k=cfg.k, step=cfg.step, beta=cfg.beta
+            )
+            l2, _ = field_loss(seg_map, dense_ft, batch["mask"], label_bg, rng, flc)
+        loss = l1 + cfg.lamb * l2
+        return loss, (new_model_state, {"loss": loss, "loss_seg": l1, "loss_beacon": l2})
+
+    grads, (new_model_state, metrics) = jax.grad(loss_fn, has_aux=True)(state.params)
+    # clip_grad_norm_(9) (train_muscle.py:202)
+    gnorm = optax.global_norm(grads)
+    scale = jnp.minimum(1.0, cfg.clip_norm / (gnorm + 1e-6))
+    grads = jax.tree.map(lambda g: g * scale, grads)
+
+    updates, new_opt = tx.update(grads, state.opt_state, state.params)
+    new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+    new_state = state.replace(
+        step=state.step + 1,
+        params=new_params,
+        batch_stats=new_model_state["batch_stats"],
+        opt_state=new_opt,
+    )
+    metrics["grad_norm"] = gnorm
+    return new_state, metrics

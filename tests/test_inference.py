@@ -1,0 +1,111 @@
+"""End-to-end inference engine tests on synthetic images (small b1 models,
+random weights — exercises batching, canvas padding, resize-back, un-flip,
+fusion, and artifact formats)."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+import jax.numpy as jnp
+
+from muscle_tpu.inference import CamTTAEngine, RandomWalkRefiner, SegTTAEngine
+from muscle_tpu.models import EdgeDisplacement, MuSCLe
+
+
+def _imgs(sizes, seed=0):
+    rng = np.random.default_rng(seed)
+    return [
+        Image.fromarray(rng.integers(0, 255, (h, w, 3), dtype=np.uint8))
+        for (h, w) in sizes
+    ]
+
+
+@pytest.fixture(scope="module")
+def enc_model():
+    model = MuSCLe(backbone_name="efficientnet-b1", mode="enc", last_pooling=False)
+    variables = model.init(
+        {"params": jax.random.key(0)}, jnp.zeros((1, 32, 32, 3)), mode="cam"
+    )
+    return model, variables
+
+
+def test_cam_engine_artifact_contract(enc_model):
+    model, variables = enc_model
+    engine = CamTTAEngine(
+        model, variables, scales=(0.5, 1.0), out_side=64, max_side=60
+    )
+    sizes = [(50, 40), (40, 56)]
+    labels = [np.zeros(20, np.float32) for _ in sizes]
+    labels[0][[2, 7]] = 1
+    labels[1][[0]] = 1
+    out = engine.run_batch(_imgs(sizes), ["a", "b"], labels)
+
+    assert [r["name"] for r in out] == ["a", "b"]
+    assert sorted(out[0]["sgc"].keys()) == [2, 7]
+    assert sorted(out[1]["sgc"].keys()) == [0]
+    for r, (h, w) in zip(out, sizes):
+        for m in r["sgc"].values():
+            assert m.shape == (h, w) and m.dtype == np.float16
+            assert np.isfinite(m.astype(np.float32)).all()
+            assert m.max() <= 1.0 + 1e-2
+        assert r["score"].shape == (20,)
+        assert (r["score"] >= 0).all() and (r["score"] <= 1).all()
+
+
+def test_cam_engine_flip_consistency(enc_model):
+    """A mirrored input image must produce (numerically) mirrored fused maps
+    — the TTA already averages orig+flip, so fusing a flipped image should
+    give the mirror of fusing the original."""
+    model, variables = enc_model
+    engine = CamTTAEngine(model, variables, scales=(1.0,), out_side=64, max_side=60)
+    img = _imgs([(48, 40)])[0]
+    lab = np.zeros(20, np.float32)
+    lab[3] = 1
+    out1 = engine.run_batch([img], ["x"], [lab])[0]["sgc"][3].astype(np.float32)
+    flipped = Image.fromarray(np.asarray(img)[:, ::-1])
+    out2 = engine.run_batch([flipped], ["x"], [lab])[0]["sgc"][3].astype(np.float32)
+    np.testing.assert_allclose(out1, out2[:, ::-1], atol=2e-2)
+
+
+def test_seg_engine_probs(enc_model):
+    model = MuSCLe(
+        backbone_name="efficientnet-b1", mode="dec", bifpn_layers=1, last_pooling=True
+    )
+    variables = model.init(
+        {"params": jax.random.key(1)}, jnp.zeros((1, 32, 32, 3)), mode="seg"
+    )
+    engine = SegTTAEngine(model, variables, scales=(0.5, 1.0), out_side=64, max_side=60)
+    sizes = [(50, 40), (40, 56)]
+    out = engine.run_batch(_imgs(sizes), ["a", "b"])
+    for r, (h, w) in zip(out, sizes):
+        assert r["probs"].shape == (h, w, 21)
+        np.testing.assert_allclose(r["probs"].sum(-1), 1.0, atol=1e-3)
+
+    # class gating zeroes gated-out classes
+    gate = np.zeros(21, np.float32)
+    gate[0] = gate[5] = 1
+    gated = engine.run_batch(_imgs(sizes[:1]), ["a"], [gate])[0]["probs"]
+    assert np.abs(gated[..., 1:5]).max() == 0
+
+
+def test_random_walk_refiner(tmp_path):
+    model = EdgeDisplacement(crop_size=64)
+    variables = model.init(
+        {"params": jax.random.key(2)}, jnp.zeros((2, 64, 64, 3))
+    )
+    refiner = RandomWalkRefiner(model, variables, crop_size=64)
+    img = _imgs([(50, 44)])[0]
+    cam_dict = {
+        3: np.random.default_rng(0).uniform(0, 1, (50, 44)).astype(np.float16)
+    }
+    scores = refiner.refine_image(img, cam_dict)
+    assert scores.shape == (50, 44, 21)
+    # bg channel is the constant threshold
+    np.testing.assert_allclose(scores[..., 0], 0.35, atol=1e-6)
+    # only the labelled class carries fg mass
+    assert scores[..., 1 + 3].max() > 0
+    others = np.delete(scores[..., 1:], 3, axis=-1)
+    assert np.abs(others).max() == 0
+    labels = refiner.to_png_labels(scores)
+    assert set(np.unique(labels)) <= {0, 4}

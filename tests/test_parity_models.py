@@ -1,0 +1,134 @@
+"""Numerical parity of the Flax models against the PyTorch reference.
+
+The torch reference (imported read-only from /root/reference) is run on CPU
+with randomly initialised weights; those weights are converted with
+muscle_tpu.convert and the NHWC Flax forward must reproduce the NCHW torch
+forward to float32 tolerance.  This is the same gating approach as
+BASELINE.json config #1 but self-contained (no pretrained download).
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from muscle_tpu.convert import convert_muscle_state_dict, convert_irn_state_dict
+from muscle_tpu.models import EfficientNet, MuSCLe, EdgeDisplacement
+
+from reference_loader import load_reference
+
+src = load_reference()
+
+
+def _to_numpy_sd(model):
+    return {k: v.detach().cpu().numpy() for k, v in model.state_dict().items()}
+
+
+@pytest.mark.parametrize("last_pooling", [False, True])
+def test_efficientnet_b0_pyramid_parity(rng, last_pooling):
+    from src.efficientnet_pytorch import EfficientNet as TorchEffNet
+
+    torch.manual_seed(0)
+    tmodel = TorchEffNet.from_name("efficientnet-b0", last_pooling=last_pooling)
+    tmodel.eval()
+
+    x = rng.normal(size=(2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        tpyr = tmodel.extract_features(torch.from_numpy(x))
+
+    variables = convert_muscle_state_dict(_to_numpy_sd(tmodel))
+    variables = {
+        "params": variables["params"]["backbone"],
+        "batch_stats": variables["batch_stats"]["backbone"],
+    }
+    fmodel = EfficientNet(model_name="efficientnet-b0", last_pooling=last_pooling)
+    fpyr = fmodel.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+
+    assert len(fpyr) == len(tpyr)
+    for i, (f, t) in enumerate(zip(fpyr, tpyr)):
+        got = np.asarray(f).transpose(0, 3, 1, 2)
+        want = t.numpy()
+        assert got.shape == want.shape, f"block {i}: {got.shape} vs {want.shape}"
+        np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3, err_msg=f"block {i}")
+
+
+def test_muscle_b3_cam_mode_parity(rng):
+    torch.manual_seed(1)
+    tmodel = src.MuSCLe(
+        num_classes=21, pretrained="efficientnet-b3", layers=3, MemoryEfficient=True,
+        last_pooling=False, mode="enc",
+    )
+    tmodel.eval()
+    x = rng.normal(size=(1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        tcam, tsgc, temb, tlogits = tmodel(torch.from_numpy(x), cam="cam")
+
+    variables = convert_muscle_state_dict(_to_numpy_sd(tmodel))
+    fmodel = MuSCLe(backbone_name="efficientnet-b3", mode="enc", last_pooling=False)
+    fcam, fsgc, femb, flogits = fmodel.apply(
+        variables, jnp.asarray(x.transpose(0, 2, 3, 1)), mode="cam"
+    )
+    np.testing.assert_allclose(np.asarray(femb), temb.numpy(), atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(flogits), tlogits.numpy(), atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(fcam).transpose(0, 3, 1, 2), tcam.numpy(), atol=5e-4, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(fsgc).transpose(0, 3, 1, 2), tsgc.numpy(), atol=5e-4, rtol=1e-3
+    )
+
+
+def test_muscle_b3_seg_mode_parity(rng):
+    torch.manual_seed(2)
+    tmodel = src.MuSCLe(
+        num_classes=21, pretrained="efficientnet-b3", layers=2, MemoryEfficient=True,
+        last_pooling=True, mode="dec",
+    )
+    tmodel.eval()
+    x = rng.normal(size=(1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        tseg, tdense = tmodel(torch.from_numpy(x), cam="seg")
+
+    variables = convert_muscle_state_dict(_to_numpy_sd(tmodel))
+    fmodel = MuSCLe(
+        backbone_name="efficientnet-b3", mode="dec", bifpn_layers=2, last_pooling=True
+    )
+    fseg, fdense = fmodel.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)), mode="seg")
+    np.testing.assert_allclose(
+        np.asarray(fseg).transpose(0, 3, 1, 2), tseg.numpy(), atol=1e-3, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(fdense).transpose(0, 3, 1, 2), tdense.numpy(), atol=1e-3, rtol=1e-3
+    )
+
+
+def test_irn_edge_displacement_parity(rng):
+    import importlib
+
+    ref_irn = importlib.import_module("src.backbones.resnet50_irn")
+    # avoid the pretrained resnet download inside Net.__init__
+    import src.backbones.resnet50 as ref_r50
+
+    orig = ref_r50.resnet50
+    ref_r50.resnet50 = lambda pretrained=True, **kw: orig(pretrained=False, **kw)
+    try:
+        torch.manual_seed(3)
+        tmodel = ref_irn.EdgeDisplacement(crop_size=128)
+        tmodel.eval()
+    finally:
+        ref_r50.resnet50 = orig
+
+    x = rng.normal(size=(2, 3, 96, 80)).astype(np.float32)
+    with torch.no_grad():
+        tedge, tdp = tmodel(torch.from_numpy(x))
+
+    variables = convert_irn_state_dict(_to_numpy_sd(tmodel))
+    fmodel = EdgeDisplacement(crop_size=128)
+    fedge, fdp = fmodel.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    # torch keeps edge as (1, h, w) (channel dim of edge_out[0]); ours is (h, w)
+    np.testing.assert_allclose(
+        np.asarray(fedge), tedge.numpy().squeeze(0), atol=2e-4, rtol=1e-3
+    )
+    np.testing.assert_allclose(np.asarray(fdp), tdp.numpy(), atol=2e-4, rtol=1e-3)
