@@ -26,6 +26,12 @@ WARMUP_BATCHES = 2
 
 def main() -> None:
     import jax
+
+    from muscle_tpu.utils.compile_cache import enable
+
+    enable()  # XLA compiles take minutes on small hosts; cache persists them
+
+    import jax.numpy as jnp
     from PIL import Image
 
     from muscle_tpu.inference import CamTTAEngine
@@ -33,8 +39,10 @@ def main() -> None:
 
     rng = np.random.default_rng(0)
     model = MuSCLe(backbone_name="efficientnet-b3", mode="enc", last_pooling=False)
-    x0 = np.zeros((1, 64, 64, 3), np.float32)
-    variables = model.init({"params": jax.random.key(0)}, x0, mode="cam")
+    init = jax.jit(
+        lambda k: model.init({"params": k}, jnp.zeros((1, 64, 64, 3)), mode="cam")
+    )
+    variables = init(jax.random.key(0))
 
     engine = CamTTAEngine(model, variables)
 

@@ -38,12 +38,14 @@ def load_model_variables(weights: str | None, model, example_shape, mode: str):
             sd = load_torch_checkpoint(weights)
             loaded = convert_muscle_state_dict(sd)
             variables = _merge_loaded(variables, loaded)
-        else:
-            from muscle_tpu.training.state import restore_checkpoint  # noqa: F401
+        elif weights.endswith(".msgpack"):
+            from muscle_tpu.training.state import load_model_msgpack
 
-            raise NotImplementedError(
-                "orbax checkpoint loading for inference CLIs lands with the "
-                "training pipeline checkpoints; pass a .pth for now"
+            variables = load_model_msgpack(weights, variables)
+        else:
+            raise ValueError(
+                f"unrecognised checkpoint {weights!r}: expected a torch .pth/"
+                ".ckpt or a muscle_tpu model_*.msgpack"
             )
     return variables
 

@@ -30,6 +30,10 @@ def main(argv=None) -> None:
     p.add_argument("--weights", default=None, type=str)
     p.add_argument("--seed", default=0, type=int)
     p.add_argument("--log_dir", default="logs/mcl", type=str)
+    p.add_argument("--resume_epoch", default=None, type=int,
+                   help="resume full train state (params+optimizer) from "
+                        "<session_name>/step_<epoch> — unlike the reference, "
+                        "optimizer state survives restarts")
     add_voc_args(p)
     args = p.parse_args(argv)
 
@@ -67,6 +71,12 @@ def main(argv=None) -> None:
     )
     tx = make_adam(args.lr, args.wt_dec)
     state = create_train_state(variables, tx)
+    start_epoch = 0
+    if args.resume_epoch is not None:
+        from muscle_tpu.training import restore_checkpoint
+
+        state = restore_checkpoint(args.session_name, args.resume_epoch, state)
+        start_epoch = args.resume_epoch + 1
 
     mesh = make_mesh()
     state = replicate(mesh, state)
@@ -77,7 +87,7 @@ def main(argv=None) -> None:
     rng = jax.random.key(args.seed)
 
     with mesh:
-        for ep in range(args.max_epoches):
+        for ep in range(start_epoch, args.max_epoches):
             cfg = MCLConfig(use_imc=ep >= 4, use_pixpro=ep >= 8, use_emd=ep >= 12)
             for it, batch in enumerate(loader.epoch(ep)):
                 rng, r1, r2 = jax.random.split(rng, 3)

@@ -33,6 +33,7 @@ def main(argv=None) -> None:
     p.add_argument("--pretrained", default="b7", type=str)
     p.add_argument("--bifpn", default=3, type=int)
     p.add_argument("--log_dir", default="logs/muscle", type=str)
+    p.add_argument("--resume_epoch", default=None, type=int)
     add_voc_args(p)
     args = p.parse_args(argv)
 
@@ -66,6 +67,12 @@ def main(argv=None) -> None:
     )
     tx = make_adam(args.lr, args.wt_dec)
     state = create_train_state(variables, tx)
+    start_epoch = 0
+    if args.resume_epoch is not None:
+        from muscle_tpu.training import restore_checkpoint
+
+        state = restore_checkpoint(args.session_name, args.resume_epoch, state)
+        start_epoch = args.resume_epoch + 1
 
     mesh = make_mesh()
     state = replicate(mesh, state)
@@ -77,7 +84,7 @@ def main(argv=None) -> None:
     rng = jax.random.key(args.seed)
 
     with mesh:
-        for ep in range(args.max_epoches):
+        for ep in range(start_epoch, args.max_epoches):
             for it, batch in enumerate(loader.epoch(ep)):
                 rng, r1 = jax.random.split(rng)
                 state, metrics = seg_train_step(model, tx, state, shard_batch(mesh, batch), r1, cfg)

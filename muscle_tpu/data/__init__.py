@@ -1,8 +1,12 @@
 from muscle_tpu.data.voc12 import (
     load_img_name_list,
     load_label_dict,
+    load_label_from_xml,
+    build_cls_labels,
+    class_frequency_sample_weights,
     VOC12ClsPixDataset,
     VOC12SegDataset,
+    VOC12AffinityDataset,
     VOC12ImageDataset,
     get_img_path,
 )

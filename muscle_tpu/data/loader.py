@@ -42,6 +42,7 @@ class PrefetchLoader:
         num_threads: int = 8,
         prefetch: int = 4,
         shard: tuple[int, int] = (0, 1),
+        sample_weights=None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -51,12 +52,22 @@ class PrefetchLoader:
         self.num_threads = num_threads
         self.prefetch = prefetch
         self.shard = shard
+        self.sample_weights = (
+            None if sample_weights is None else np.asarray(sample_weights, np.float64)
+        )
 
     def _indices(self, epoch: int) -> np.ndarray:
         n = len(self.dataset)
-        idx = np.arange(n)
-        if self.shuffle:
-            idx = np.random.default_rng(self.seed + epoch).permutation(n)
+        rng = np.random.default_rng(self.seed + epoch)
+        if self.sample_weights is not None:
+            # WeightedRandomSampler semantics (capability of reference
+            # get_sample_weight, train_mcl.py:46-59 — defined there, unused)
+            p = self.sample_weights / self.sample_weights.sum()
+            idx = rng.choice(n, size=n, replace=True, p=p)
+        elif self.shuffle:
+            idx = rng.permutation(n)
+        else:
+            idx = np.arange(n)
         pi, pc = self.shard
         return idx[pi::pc]
 

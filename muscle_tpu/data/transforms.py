@@ -188,6 +188,43 @@ def two_views(
     return view1, view2, rel1, rel2, ori
 
 
+def cutout(
+    arr: np.ndarray,
+    mask: np.ndarray,
+    rng: np.random.Generator,
+    mask_size: int = 66,
+    p: float = 0.5,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Joint image/mask cutout (reference Cutout, src/imutils.py:390-427):
+    zero a mask_size square centred at a random point with prob p."""
+    if rng.random() > p:
+        return arr, mask
+    h, w = arr.shape[:2]
+    half = mask_size // 2
+    cy = int(rng.integers(0, h + (1 if mask_size % 2 == 0 else 0)))
+    cx = int(rng.integers(0, w + (1 if mask_size % 2 == 0 else 0)))
+    y0, x0 = max(0, cy - half), max(0, cx - half)
+    y1, x1 = min(h, cy - half + mask_size), min(w, cx - half + mask_size)
+    arr = arr.copy()
+    mask = mask.copy()
+    arr[y0:y1, x0:x1] = 0
+    mask[y0:y1, x0:x1] = 0
+    return arr, mask
+
+
+def rot90_with_mask(
+    arr: np.ndarray, mask: np.ndarray, rng: np.random.Generator
+) -> tuple[np.ndarray, np.ndarray]:
+    """Random +-90 degree rotation of image+mask, each with prob 1/8
+    (reference Rot90WithMask, src/imutils.py:294-306)."""
+    p = rng.random()
+    if p < 0.125:
+        return np.rot90(arr, 1, (0, 1)).copy(), np.rot90(mask, 1, (0, 1)).copy()
+    if p > 0.875:
+        return np.rot90(arr, 3, (0, 1)).copy(), np.rot90(mask, 3, (0, 1)).copy()
+    return arr, mask
+
+
 def resize_soft_mask(mask: np.ndarray, target_hw: tuple[int, int]) -> np.ndarray:
     """Bilinear resize of an (H, W, C) float soft mask (replaces the
     skimage.transform.resize call at src/imutils.py:52)."""

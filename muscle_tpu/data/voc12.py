@@ -35,6 +35,55 @@ def load_label_dict(cls_labels_path: str) -> dict[str, np.ndarray]:
     return np.load(cls_labels_path, allow_pickle=True).item()
 
 
+VOC_CAT_LIST = [
+    "aeroplane", "bicycle", "bird", "boat", "bottle", "bus", "car", "cat",
+    "chair", "cow", "diningtable", "dog", "horse", "motorbike", "person",
+    "pottedplant", "sheep", "sofa", "train", "tvmonitor",
+]
+
+# Per-class instance counts used for inverse-frequency sample weighting
+# (reference train_mcl.py:49-50).
+VOC_CLASS_COUNTS = [
+    590, 504, 705, 468, 714, 393, 1150, 1005, 1228, 267,
+    613, 1188, 445, 492, 4155, 522, 300, 649, 503, 567,
+]
+
+
+def load_label_from_xml(img_name: str, voc12_root: str) -> np.ndarray:
+    """Multi-hot label from a VOC Annotations XML (reference
+    load_image_label_from_xml, src/data.py:29-42) — fallback when
+    cls_labels.npy is unavailable; also used to regenerate it."""
+    from xml.dom import minidom
+
+    doc = minidom.parse(os.path.join(voc12_root, "Annotations", img_name + ".xml"))
+    label = np.zeros(20, np.float32)
+    for el in doc.getElementsByTagName("name"):
+        name = el.firstChild.data
+        if name in VOC_CAT_LIST:
+            label[VOC_CAT_LIST.index(name)] = 1.0
+    return label
+
+
+def build_cls_labels(name_list, voc12_root: str, out_path: str) -> dict:
+    """Regenerate the cls_labels.npy dict from the VOC XML annotations."""
+    d = {n: load_label_from_xml(n, voc12_root) for n in name_list}
+    np.save(out_path, d)
+    return d
+
+
+def class_frequency_sample_weights(labels: list[np.ndarray]) -> np.ndarray:
+    """Inverse class-instance-count per-image weights (reference
+    get_sample_weight, train_mcl.py:46-59): n_images / sum of the instance
+    counts of the image's classes)."""
+    counts = np.asarray(VOC_CLASS_COUNTS, np.float64)
+    n = len(labels)
+    weights = np.empty(n, np.float64)
+    for i, lab in enumerate(labels):
+        inst = counts[np.asarray(lab) > 0].sum()
+        weights[i] = n / max(inst, 1.0)
+    return weights
+
+
 @dataclass
 class VOC12ImageDataset:
     """Names + PIL images (+ labels if a label dict is given)."""
@@ -100,6 +149,86 @@ class VOC12ClsPixDataset(VOC12ImageDataset):
             "coord2": np.asarray(coord2, np.int32),
             "label": self.label(idx),
         }
+
+
+class VOC12AffinityDataset(VOC12ImageDataset):
+    """IRN training set: crop-padded image + path-pair affinity masks
+    derived from pseudo-label PNGs (capability of the reference's
+    IRN-lineage datasets, src/data.py:445-754, re-designed: the affinity
+    targets are produced directly in the (D, P) layout the TPU loss
+    consumes)."""
+
+    def __init__(
+        self,
+        name_list,
+        voc12_root,
+        labels,
+        pseudo_label_root: str,
+        crop_size: int = 512,
+        stride: int = 4,
+        radius: int = 5,
+        min_scale: float = 0.5,
+        max_scale: float = 1.5,
+    ):
+        super().__init__(name_list, voc12_root, labels)
+        self.pseudo_label_root = pseudo_label_root
+        self.crop_size = crop_size
+        self.stride = stride
+        self.radius = radius
+        self.min_scale = min_scale
+        self.max_scale = max_scale
+        from muscle_tpu.ops.random_walk import PathIndex
+
+        g = crop_size // stride
+        self._pi = PathIndex(radius, (g, g))
+
+    def get(self, idx: int, rng: np.random.Generator) -> dict[str, np.ndarray]:
+        name = self.name_list[idx]
+        img = self.image(idx)
+        lab = Image.open(os.path.join(self.pseudo_label_root, name + ".png"))
+
+        scale = float(rng.uniform(self.min_scale, self.max_scale))
+        tw, th = round(img.size[0] * scale), round(img.size[1] * scale)
+        img = img.resize((tw, th), resample=T.BILINEAR)
+        lab = lab.resize((tw, th), resample=Image.NEAREST)
+
+        arr = T.color_norm(np.asarray(img))
+        lab_arr = np.asarray(lab)
+        cs = self.crop_size
+        canvas = np.zeros((cs, cs, 3), np.float32)
+        lab_canvas = np.full((cs, cs), 255, np.uint8)  # pad = void
+        ch, cw = min(th, cs), min(tw, cs)
+        top = int(rng.integers(0, max(th - cs, 0) + 1))
+        left = int(rng.integers(0, max(tw - cs, 0) + 1))
+        canvas[:ch, :cw] = arr[top : top + ch, left : left + cw]
+        lab_canvas[:ch, :cw] = lab_arr[top : top + ch, left : left + cw]
+        if rng.random() < 0.5:
+            canvas = T.hflip(canvas)
+            lab_canvas = np.ascontiguousarray(lab_canvas[:, ::-1])
+
+        # nearest downsample to the stride-4 affinity grid
+        small = lab_canvas[self.stride // 2 :: self.stride, self.stride // 2 :: self.stride]
+        bg_pos, fg_pos, neg = self._affinity_masks(small)
+        return {
+            "img": canvas,
+            "bg_pos": bg_pos,
+            "fg_pos": fg_pos,
+            "neg": neg,
+        }
+
+    def _affinity_masks(self, small: np.ndarray):
+        pi = self._pi
+        flat = small.reshape(-1).astype(np.int32)
+        src = np.broadcast_to(pi.src_indices[None, :], pi.dst_indices.shape)
+        a = flat[src]
+        b = flat[pi.dst_indices]
+        valid = (a != 255) & (b != 255)
+        equal = (a == b) & valid
+        return (
+            (equal & (a == 0)).astype(np.float32),
+            (equal & (a > 0)).astype(np.float32),
+            ((a != b) & valid).astype(np.float32),
+        )
 
 
 class VOC12SegDataset(VOC12ImageDataset):

@@ -4,8 +4,9 @@ The reference runs 8 sequential batch-1 forwards per image and fuses on CPU
 with cv2.  Here the whole TTA product is *batched*: each scale's (orig,
 flip) pairs run as one padded-canvas batch, the model's CAM/SGC maps are
 resized back to original image size ON DEVICE (gather-based dynamic resize,
-cv2 half-pixel semantics, un-flip fused in), and summed into a per-image
-accumulator.  One device->host transfer of the fused maps per batch.
+cv2 half-pixel semantics, un-flip fused in), and summed into per-image
+accumulators that live on device across scales — each scale is exactly one
+jit invocation (donated accumulators; zero eager ops on the hot path).
 
 Fusion math matches infer_mcl.py:148-174: elementwise SUM over versions of
 the foreground channels, clip negatives, per-class min-max normalisation
@@ -34,6 +35,8 @@ class CamTTAEngine:
       scales: TTA scales (reference default [0.5, 1, 1.5, 2]).
       out_side: static canvas for fused output maps (>= max image side).
       max_side: dataset max long side (VOC: 500).
+      compute_dtype: jnp.bfloat16 runs the backbone in bf16 (MXU fast path);
+        fusion accumulators stay f32.
     """
 
     def __init__(
@@ -44,7 +47,7 @@ class CamTTAEngine:
         num_classes: int = 21,
         out_side: int = 512,
         max_side: int = 500,
-        dtype=jnp.float32,
+        compute_dtype=jnp.float32,
     ):
         self.model = model
         self.variables = variables
@@ -52,37 +55,37 @@ class CamTTAEngine:
         self.num_classes = num_classes
         self.out_side = out_side
         self.max_side = max_side
-        self.dtype = dtype
+        self.compute_dtype = compute_dtype
         self._scale_fn = {}
 
     def _fn_for(self, scale: float, batch: int):
         key = (scale, batch)
         if key not in self._scale_fn:
-            canvas = bucket_side(scale, self.max_side)
             model, variables = self.model, self.variables
             out_side = self.out_side
+            cdt = self.compute_dtype
 
-            @jax.jit
-            def run(images, sizes, orig_sizes):
-                """images (2B,S,S,3); sizes (B,2) scaled hw; orig (B,2) HW.
+            @functools.partial(jax.jit, donate_argnums=(3, 4, 5))
+            def run(images, sizes, orig_sizes, cam_sum, sgc_sum, logits_sum):
+                """One TTA scale, fully on device.
 
-                Returns cam_acc, sgc_acc (B, out, out, C) resized+unflipped,
-                and logits (2B, C).
+                images (2B,S,S,3); sizes (B,2) scaled hw; orig (B,2) HW;
+                accumulators (B,out,out,C)/(B,C) donated and returned.
                 """
-                cams, sgcs, _, logits = model.apply(variables, images, mode="cam")
+                cams, sgcs, _, logits = model.apply(
+                    variables, images.astype(cdt), mode="cam"
+                )
+                cams = cams.astype(jnp.float32)
+                sgcs = sgcs.astype(jnp.float32)
+                logits = logits.astype(jnp.float32)
 
                 def per_image(cam2, sgc2, size, orig):
-                    # cam2: (2, S, S, C) orig+flip at canvas res
                     box = jnp.concatenate([jnp.zeros(2, jnp.int32), size])
 
                     def resize(m, flip):
                         return dynamic_window_resize(
-                            m,
-                            box,
-                            (out_side, out_side),
-                            dst_hw=orig,
-                            align_corners=False,
-                            flip_x=flip,
+                            m, box, (out_side, out_side), dst_hw=orig,
+                            align_corners=False, flip_x=flip,
                         )
 
                     rows = jnp.arange(out_side)[:, None]
@@ -95,15 +98,21 @@ class CamTTAEngine:
                 b = sizes.shape[0]
                 cam_pairs = cams.reshape(b, 2, *cams.shape[1:])
                 sgc_pairs = sgcs.reshape(b, 2, *sgcs.shape[1:])
-                cam_acc, sgc_acc = jax.vmap(per_image)(cam_pairs, sgc_pairs, sizes, orig_sizes)
-                return cam_acc, sgc_acc, logits
+                cam_acc, sgc_acc = jax.vmap(per_image)(
+                    cam_pairs, sgc_pairs, sizes, orig_sizes
+                )
+                return (
+                    cam_sum + cam_acc,
+                    sgc_sum + sgc_acc,
+                    logits_sum + logits.reshape(b, 2, -1).sum(axis=1),
+                )
 
             self._scale_fn[key] = run
         return self._scale_fn[key]
 
     @functools.cached_property
     def _fuse(self):
-        out_side, c = self.out_side, self.num_classes
+        out_side = self.out_side
 
         @jax.jit
         def fuse(cam_sum, sgc_sum, orig_sizes, logits_sum, n_versions):
@@ -125,7 +134,7 @@ class CamTTAEngine:
             cam = jax.vmap(norm)(cam_sum, orig_sizes)
             sgc = jax.vmap(norm)(sgc_sum, orig_sizes)
             score = jax.nn.sigmoid(logits_sum[:, 1:] / n_versions)
-            return cam, sgc, score
+            return cam.astype(jnp.float16), sgc.astype(jnp.float16), score
 
         return fuse
 
@@ -134,22 +143,21 @@ class CamTTAEngine:
         float16, labelled classes only) and score (20,) — the exact npy
         artifact contract of infer_mcl.py:166-182."""
         b = len(pil_images)
-        cam_sum = jnp.zeros((b, self.out_side, self.out_side, self.num_classes), self.dtype)
+        cam_sum = jnp.zeros((b, self.out_side, self.out_side, self.num_classes), jnp.float32)
         sgc_sum = jnp.zeros_like(cam_sum)
-        logits_sum = jnp.zeros((b, self.num_classes), self.dtype)
+        logits_sum = jnp.zeros((b, self.num_classes), jnp.float32)
         orig_sizes = None
         for s in self.scales:
             mb = msf_batch(pil_images, names, s, canvas=bucket_side(s, self.max_side))
             fn = self._fn_for(s, b)
-            cam, sgc, logits = fn(
-                jnp.asarray(mb.images), jnp.asarray(mb.sizes), jnp.asarray(mb.orig_sizes)
+            cam_sum, sgc_sum, logits_sum = fn(
+                jnp.asarray(mb.images), jnp.asarray(mb.sizes), jnp.asarray(mb.orig_sizes),
+                cam_sum, sgc_sum, logits_sum,
             )
-            cam_sum = cam_sum + cam
-            sgc_sum = sgc_sum + sgc
-            logits_sum = logits_sum + logits.reshape(b, 2, -1).sum(axis=1)
             orig_sizes = mb.orig_sizes
         cam, sgc, score = self._fuse(
-            cam_sum, sgc_sum, jnp.asarray(orig_sizes), logits_sum, 2 * len(self.scales)
+            cam_sum, sgc_sum, jnp.asarray(orig_sizes), logits_sum,
+            jnp.float32(2 * len(self.scales)),
         )
         cam, sgc, score = np.asarray(cam), np.asarray(sgc), np.asarray(score)
 
@@ -157,13 +165,13 @@ class CamTTAEngine:
         for i, name in enumerate(names):
             hh, ww = orig_sizes[i]
             lab = np.asarray(labels[i])
-            cam_dict = {
-                k: cam[i, :hh, :ww, k].astype(np.float16) for k in np.nonzero(lab > 1e-5)[0]
-            }
-            sgc_dict = {
-                k: sgc[i, :hh, :ww, k].astype(np.float16) for k in np.nonzero(lab > 1e-5)[0]
-            }
+            keep = np.nonzero(lab > 1e-5)[0]
             out.append(
-                {"name": name, "cam": cam_dict, "sgc": sgc_dict, "score": score[i]}
+                {
+                    "name": name,
+                    "cam": {k: cam[i, :hh, :ww, k] for k in keep},
+                    "sgc": {k: sgc[i, :hh, :ww, k] for k in keep},
+                    "score": score[i],
+                }
             )
         return out

@@ -9,6 +9,8 @@ dense-CRF refinement, argmax to a palettised PNG.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -26,6 +28,7 @@ class SegTTAEngine:
         num_classes: int = 21,
         out_side: int = 512,
         max_side: int = 500,
+        compute_dtype=jnp.float32,
     ):
         self.model = model
         self.variables = variables
@@ -33,6 +36,7 @@ class SegTTAEngine:
         self.num_classes = num_classes
         self.out_side = out_side
         self.max_side = max_side
+        self.compute_dtype = compute_dtype
         self._scale_fn = {}
 
     def _fn_for(self, scale: float, batch: int):
@@ -40,11 +44,12 @@ class SegTTAEngine:
         if key not in self._scale_fn:
             model, variables = self.model, self.variables
             out_side = self.out_side
+            cdt = self.compute_dtype
 
-            @jax.jit
-            def run(images, sizes, orig_sizes):
-                seg, _ = model.apply(variables, images, mode="seg")
-                probs = jax.nn.softmax(seg, axis=-1)
+            @functools.partial(jax.jit, donate_argnums=(3,))
+            def run(images, sizes, orig_sizes, acc):
+                seg, _ = model.apply(variables, images.astype(cdt), mode="seg")
+                probs = jax.nn.softmax(seg.astype(jnp.float32), axis=-1)
 
                 def per_image(pair, size, orig):
                     box = jnp.concatenate([jnp.zeros(2, jnp.int32), size])
@@ -62,7 +67,7 @@ class SegTTAEngine:
 
                 b = sizes.shape[0]
                 pairs = probs.reshape(b, 2, *probs.shape[1:])
-                return jax.vmap(per_image)(pairs, sizes, orig_sizes)
+                return acc + jax.vmap(per_image)(pairs, sizes, orig_sizes)
 
             self._scale_fn[key] = run
         return self._scale_fn[key]
@@ -77,8 +82,8 @@ class SegTTAEngine:
         for s in self.scales:
             mb = msf_batch(pil_images, names, s, canvas=bucket_side(s, self.max_side))
             fn = self._fn_for(s, b)
-            acc = acc + fn(
-                jnp.asarray(mb.images), jnp.asarray(mb.sizes), jnp.asarray(mb.orig_sizes)
+            acc = fn(
+                jnp.asarray(mb.images), jnp.asarray(mb.sizes), jnp.asarray(mb.orig_sizes), acc
             )
             orig_sizes = mb.orig_sizes
         mean = np.asarray(acc) / (2 * len(self.scales))

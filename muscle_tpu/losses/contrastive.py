@@ -13,6 +13,23 @@ import jax
 import jax.numpy as jnp
 
 
+def info_nce(
+    query: jax.Array,
+    positive_keys: jax.Array,
+    negative_keys: jax.Array,
+    temperature: float = 0.1,
+) -> jax.Array:
+    """Generic InfoNCE helper (reference src/loss_multilabel.py:9-21;
+    defined there but unused by the scripts — kept for API parity).
+
+    query: (B, D); positive_keys: (B, P, D); negative_keys: (B, N, D).
+    """
+    pos = jnp.einsum("bd,bpd->bp", query, positive_keys).mean(axis=1, keepdims=True)
+    neg = jnp.einsum("bd,bnd->bn", query, negative_keys)
+    logits = jnp.concatenate([pos, neg], axis=1) / temperature
+    return -jnp.mean(jax.nn.log_softmax(logits, axis=1)[:, 0])
+
+
 def image_level_contrast(
     emb: jax.Array, label: jax.Array, temperature: float = 0.1
 ) -> jax.Array:

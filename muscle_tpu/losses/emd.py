@@ -108,6 +108,35 @@ def _overlap_box(coord: jax.Array) -> jax.Array:
     return coord.astype(jnp.int32)
 
 
+@functools.partial(jax.jit, static_argnames=("crop_px",))
+def static_matching_emd(
+    vw1: jax.Array,
+    vw2: jax.Array,
+    coord1: jax.Array,
+    coord2: jax.Array,
+    crop_px: int = 7,
+) -> jax.Array:
+    """'static' EMD mode (reference static_matching, :259-285): mean
+    pairwise-cosine distance of the two views' overlap regions resampled to
+    ``crop_px`` long side; returns the sum of the two smallest per-sample
+    distances (the reference sorts the per-crop-pair means and adds the
+    best two)."""
+    n = vw1.shape[0]
+
+    def per_sample(fm1, fm2, c1, c2):
+        b1 = _overlap_box(c1)
+        b2 = _overlap_box(c2)
+        x = _dynamic_window_resize(fm1, b1, (crop_px, crop_px)).reshape(crop_px * crop_px, -1)
+        y = jax.lax.stop_gradient(
+            _dynamic_window_resize(fm2, b2, (crop_px, crop_px))
+        ).reshape(crop_px * crop_px, -1)
+        return jnp.mean(pairwise_cosine_cost(x, y))
+
+    dists = jax.vmap(per_sample)(vw1, vw2, coord1, coord2)
+    two = jnp.sort(dists)[:2]
+    return jnp.sum(two)
+
+
 @functools.partial(jax.jit, static_argnames=("grid", "crop_px", "maxiter"))
 def dynamic_matching_emd(
     vw1: jax.Array,

@@ -6,3 +6,4 @@ from muscle_tpu.ops.random_walk import (
     propagate_to_edge,
 )
 from muscle_tpu.ops.crf import mean_field_crf
+from muscle_tpu.ops.affinity_labels import affinity_labels_from_indices

@@ -8,6 +8,19 @@ stepped on an epoch-end mIoU (train_mcl.py:135,318; train_muscle.py:150,283).
 from __future__ import annotations
 
 
+def poly_schedule(base_lr: float, max_step: int, power: float = 0.9):
+    """Poly-decay schedule (reference PolyOptimizer, src/torchutils.py:11-33):
+    lr(t) = base * (1 - t/max_step)^power.  Returns an optax schedule fn."""
+
+    def fn(step):
+        import jax.numpy as jnp
+
+        frac = jnp.clip(1.0 - step / max_step, 0.0, 1.0)
+        return base_lr * frac**power
+
+    return fn
+
+
 class ReduceLROnPlateau:
     def __init__(
         self,

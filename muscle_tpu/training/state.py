@@ -59,12 +59,20 @@ def set_learning_rate(state: TrainState, lr: float) -> TrainState:
 
 
 def save_checkpoint(ckpt_dir: str, state: TrainState, step: int) -> None:
+    """Write (a) the full train state via Orbax for resume and (b) a
+    msgpack of {params, batch_stats} for inference loading (the reference's
+    per-epoch .pth analogue, train_mcl.py:283)."""
+    import flax.serialization
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(os.path.join(ckpt_dir, f"step_{step}"))
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, jax.device_get(state))
     ckptr.wait_until_finished()
+
+    host = jax.device_get(state.variables())
+    with open(os.path.join(ckpt_dir, f"model_{step}.msgpack"), "wb") as f:
+        f.write(flax.serialization.to_bytes(host))
 
 
 def restore_checkpoint(ckpt_dir: str, step: int, target: TrainState) -> TrainState:
@@ -73,3 +81,12 @@ def restore_checkpoint(ckpt_dir: str, step: int, target: TrainState) -> TrainSta
     path = os.path.abspath(os.path.join(ckpt_dir, f"step_{step}"))
     ckptr = ocp.StandardCheckpointer()
     return ckptr.restore(path, target)
+
+
+def load_model_msgpack(path: str, init_variables: dict) -> dict:
+    """Restore a {params, batch_stats} msgpack into the structure of
+    ``init_variables`` (strict shape/structure match)."""
+    import flax.serialization
+
+    with open(path, "rb") as f:
+        return flax.serialization.from_bytes(init_variables, f.read())
