@@ -44,7 +44,9 @@ def main() -> None:
     )
     variables = init(jax.random.key(0))
 
-    engine = CamTTAEngine(model, variables)
+    # flagship config: bf16 backbone (MXU fast path), stride-16 maps resized
+    # straight to original size, f32 fusion accumulators
+    engine = CamTTAEngine(model, variables, compute_dtype=jnp.bfloat16, lowres=True)
 
     # synthetic VOC-shaped inputs (typical 500x375 / 375x500 mix)
     def make_batch(i):

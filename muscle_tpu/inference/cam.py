@@ -37,6 +37,10 @@ class CamTTAEngine:
       max_side: dataset max long side (VOC: 500).
       compute_dtype: jnp.bfloat16 runs the backbone in bf16 (MXU fast path);
         fusion accumulators stay f32.
+      lowres: resize the stride-16 CAM/SGC maps straight to original image
+        size (one bilinear resize) instead of the reference's two-stage
+        p7 -> input-size -> original chain — ~10x less resize compute; the
+        full-fidelity chain is kept under lowres=False for parity checks.
     """
 
     def __init__(
@@ -48,6 +52,7 @@ class CamTTAEngine:
         out_side: int = 512,
         max_side: int = 500,
         compute_dtype=jnp.float32,
+        lowres: bool = True,
     ):
         self.model = model
         self.variables = variables
@@ -56,36 +61,45 @@ class CamTTAEngine:
         self.out_side = out_side
         self.max_side = max_side
         self.compute_dtype = compute_dtype
+        self.lowres = lowres
         self._scale_fn = {}
 
     def _fn_for(self, scale: float, batch: int):
         key = (scale, batch)
         if key not in self._scale_fn:
-            model, variables = self.model, self.variables
+            model = self.model
             out_side = self.out_side
             cdt = self.compute_dtype
+            lowres = self.lowres
 
-            @functools.partial(jax.jit, donate_argnums=(3, 4, 5))
-            def run(images, sizes, orig_sizes, cam_sum, sgc_sum, logits_sum):
+            # NOTE: variables are an ARGUMENT, not a closure capture — a
+            # captured jax.Array becomes an XLA constant (weights baked into
+            # the program: monster compiles, cache misses per checkpoint).
+            @functools.partial(jax.jit, donate_argnums=(4, 5, 6))
+            def run(variables, images, sizes, orig_sizes, cam_sum, sgc_sum, logits_sum):
                 """One TTA scale, fully on device.
 
                 images (2B,S,S,3); sizes (B,2) scaled hw; orig (B,2) HW;
                 accumulators (B,out,out,C)/(B,C) donated and returned.
                 """
+                mode = "cam_lowres" if lowres else "cam"
                 cams, sgcs, _, logits = model.apply(
-                    variables, images.astype(cdt), mode="cam"
+                    variables, images.astype(cdt), mode=mode
                 )
                 cams = cams.astype(jnp.float32)
                 sgcs = sgcs.astype(jnp.float32)
                 logits = logits.astype(jnp.float32)
+                feat_stride = images.shape[1] // cams.shape[1]  # 1 or 16
 
                 def per_image(cam2, sgc2, size, orig):
+                    if lowres:
+                        size = (size + feat_stride - 1) // feat_stride
                     box = jnp.concatenate([jnp.zeros(2, jnp.int32), size])
 
                     def resize(m, flip):
                         return dynamic_window_resize(
                             m, box, (out_side, out_side), dst_hw=orig,
-                            align_corners=False, flip_x=flip,
+                            align_corners=lowres, flip_x=flip,
                         )
 
                     rows = jnp.arange(out_side)[:, None]
@@ -151,6 +165,7 @@ class CamTTAEngine:
             mb = msf_batch(pil_images, names, s, canvas=bucket_side(s, self.max_side))
             fn = self._fn_for(s, b)
             cam_sum, sgc_sum, logits_sum = fn(
+                self.variables,
                 jnp.asarray(mb.images), jnp.asarray(mb.sizes), jnp.asarray(mb.orig_sizes),
                 cam_sum, sgc_sum, logits_sum,
             )

@@ -56,13 +56,15 @@ class RandomWalkRefiner:
 
     @functools.cached_property
     def _refine(self):
-        model, variables = self.model, self.variables
+        model = self.model
         grid, radius = self.grid, self.radius
         beta, exp_times = self.beta, self.exp_times
         stride, crop = self.stride, self.crop_size
 
+        # variables passed as an argument (closure-captured arrays become
+        # XLA constants — see cam.py note)
         @jax.jit
-        def refine(img_pair, cams, size):
+        def refine(variables, img_pair, cams, size):
             """img_pair: (2, 512, 512, 3) normalised orig+flip (valid region
             top-left, zeros elsewhere); cams: (20, 512, 512) CAM scores
             placed top-left; size: (2,) valid (H, W).
@@ -115,7 +117,8 @@ class RandomWalkRefiner:
             cams[k, :h, :w] = np.asarray(v, np.float32)
 
         out = self._refine(
-            jnp.asarray(pair), jnp.asarray(cams), jnp.asarray([h, w], jnp.int32)
+            self.variables, jnp.asarray(pair), jnp.asarray(cams),
+            jnp.asarray([h, w], jnp.int32),
         )
         return np.asarray(out)[:, :h, :w].transpose(1, 2, 0)
 

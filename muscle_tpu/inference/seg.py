@@ -29,6 +29,7 @@ class SegTTAEngine:
         out_side: int = 512,
         max_side: int = 500,
         compute_dtype=jnp.float32,
+        lowres: bool = True,
     ):
         self.model = model
         self.variables = variables
@@ -37,19 +38,48 @@ class SegTTAEngine:
         self.out_side = out_side
         self.max_side = max_side
         self.compute_dtype = compute_dtype
+        # lowres: take stride-4 logits and upsample on the engine side.
+        # EXACT vs the reference pipeline (fuse_dec is a 1x1 conv and
+        # commutes with the bilinear upsample) while never materialising
+        # the full-resolution 256-channel dense feature.
+        self.lowres = lowres
         self._scale_fn = {}
 
     def _fn_for(self, scale: float, batch: int):
         key = (scale, batch)
         if key not in self._scale_fn:
-            model, variables = self.model, self.variables
+            model = self.model
             out_side = self.out_side
             cdt = self.compute_dtype
+            lowres = self.lowres
 
-            @functools.partial(jax.jit, donate_argnums=(3,))
-            def run(images, sizes, orig_sizes, acc):
-                seg, _ = model.apply(variables, images.astype(cdt), mode="seg")
-                probs = jax.nn.softmax(seg.astype(jnp.float32), axis=-1)
+            # variables passed as an argument (closure-captured arrays
+            # become XLA constants — see cam.py note)
+            @functools.partial(jax.jit, donate_argnums=(4,))
+            def run(variables, images, sizes, orig_sizes, acc):
+                mode = "seg_lowres" if lowres else "seg"
+                seg, _ = model.apply(variables, images.astype(cdt), mode=mode)
+                seg = seg.astype(jnp.float32)
+                if lowres:
+                    # stride-4 logits -> input-size logits (== reference
+                    # seg_map, see class docstring), then softmax
+                    stride = images.shape[1] // seg.shape[1]
+                    canvas = images.shape[1]
+
+                    def up(pair, size):
+                        wh = (size + stride - 1) // stride
+                        box = jnp.concatenate([jnp.zeros(2, jnp.int32), wh])
+                        return jax.vmap(
+                            lambda m: dynamic_window_resize(
+                                m, box, (canvas, canvas), dst_hw=size,
+                                align_corners=True,
+                            )
+                        )(pair)
+
+                    b2 = seg.shape[0] // 2
+                    pairs = seg.reshape(b2, 2, *seg.shape[1:])
+                    seg = jax.vmap(up)(pairs, sizes).reshape(-1, canvas, canvas, seg.shape[-1])
+                probs = jax.nn.softmax(seg, axis=-1)
 
                 def per_image(pair, size, orig):
                     box = jnp.concatenate([jnp.zeros(2, jnp.int32), size])
@@ -83,7 +113,8 @@ class SegTTAEngine:
             mb = msf_batch(pil_images, names, s, canvas=bucket_side(s, self.max_side))
             fn = self._fn_for(s, b)
             acc = fn(
-                jnp.asarray(mb.images), jnp.asarray(mb.sizes), jnp.asarray(mb.orig_sizes), acc
+                self.variables,
+                jnp.asarray(mb.images), jnp.asarray(mb.sizes), jnp.asarray(mb.orig_sizes), acc,
             )
             orig_sizes = mb.orig_sizes
         mean = np.asarray(acc) / (2 * len(self.scales))

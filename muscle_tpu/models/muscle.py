@@ -139,22 +139,34 @@ class MuSCLe(nn.Module):
             emb = jnp.mean(p7, axis=(1, 2))
             return emb, self.fc(emb)
 
-        if mode in ("cam", "pix"):
+        if mode in ("cam", "pix", "cam_lowres"):
             cams = self._cams(p7)
             f1 = jax.nn.relu(resize_to(p1, p7, align_corners=True))
             f2 = jax.nn.relu(resize_to(p3, p7, align_corners=True))
             f3 = jax.nn.relu(p5)
             fs = jax.lax.stop_gradient(jnp.concatenate([f1, f2, f3], axis=-1))
             sgc = self.pcm(cams, fs)
+            emb = jnp.mean(p7, axis=(1, 2))
+            if mode == "cam_lowres":
+                # TTA fast path: skip the model-internal upsample to input
+                # size; the engine resizes the stride-16 maps straight to
+                # the original image size (one resize instead of two).
+                return cams, sgc, emb, self.fc(emb)
             cams = resize_bilinear(cams, (hh, ww), align_corners=True)
             sgc = resize_bilinear(sgc, (hh, ww), align_corners=True)
             if mode == "pix":
                 return cams, sgc
-            emb = jnp.mean(p7, axis=(1, 2))
             return cams, sgc, emb, self.fc(emb)
 
-        if mode in ("seg", "vis"):
+        if mode in ("seg", "vis", "seg_lowres"):
             p3_dec = self.bifpn([p3, p4, p5, p6, p7], train=train)[0]
+            if mode == "seg_lowres":
+                # fuse_dec is a 1x1 conv, which commutes exactly with the
+                # bilinear upsample (linear map + row-stochastic weights),
+                # so stride-4 logits -> resize == the reference's
+                # resize -> conv, while never materialising the full-res
+                # 256-channel dense feature.
+                return self.fuse_dec(p3_dec), p3_dec
             dense_ft = resize_bilinear(p3_dec, (hh, ww), align_corners=True)
             seg_map = self.fuse_dec(dense_ft)
             if mode == "vis":

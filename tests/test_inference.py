@@ -89,6 +89,48 @@ def test_seg_engine_probs(enc_model):
     assert np.abs(gated[..., 1:5]).max() == 0
 
 
+def test_seg_lowres_matches_fullres(enc_model):
+    """stride-4 logits + engine upsample must equal the reference-shaped
+    full-res path (1x1 conv commutes with bilinear resize)."""
+    model = MuSCLe(
+        backbone_name="efficientnet-b1", mode="dec", bifpn_layers=1, last_pooling=True
+    )
+    variables = model.init(
+        {"params": jax.random.key(3)}, jnp.zeros((1, 32, 32, 3)), mode="seg"
+    )
+    sizes = [(48, 40)]
+    imgs = _imgs(sizes, seed=5)
+    full = SegTTAEngine(
+        model, variables, scales=(1.0,), out_side=64, max_side=60, lowres=False
+    ).run_batch(imgs, ["a"])[0]["probs"]
+    low = SegTTAEngine(
+        model, variables, scales=(1.0,), out_side=64, max_side=60, lowres=True
+    ).run_batch(imgs, ["a"])[0]["probs"]
+    np.testing.assert_allclose(low, full, atol=2e-5)
+
+
+def test_cam_lowres_close_to_fullres(enc_model):
+    """single-stage p7->orig resize vs the reference two-stage chain: not
+    bitwise, but the fused normalised maps must agree closely."""
+    model, variables = enc_model
+    sizes = [(48, 40)]
+    imgs = _imgs(sizes, seed=6)
+    lab = np.zeros(20, np.float32)
+    lab[4] = 1
+    full = CamTTAEngine(
+        model, variables, scales=(1.0,), out_side=64, max_side=60, lowres=False
+    ).run_batch(imgs, ["a"], [lab])[0]["sgc"][4].astype(np.float32)
+    low = CamTTAEngine(
+        model, variables, scales=(1.0,), out_side=64, max_side=60, lowres=True
+    ).run_batch(imgs, ["a"], [lab])[0]["sgc"][4].astype(np.float32)
+    assert np.abs(low - full).mean() < 0.05
+    # rank structure preserved (skip when random weights give a
+    # near-constant map — correlation is undefined there)
+    if full.std() > 1e-3 and low.std() > 1e-3:
+        corr = np.corrcoef(low.reshape(-1), full.reshape(-1))[0, 1]
+        assert corr > 0.95
+
+
 def test_random_walk_refiner(tmp_path):
     model = EdgeDisplacement(crop_size=64)
     variables = model.init(
