@@ -19,7 +19,7 @@ import time
 import numpy as np
 
 H100_REFERENCE_IMGS_PER_SEC = 25.0  # documented estimate, BASELINE.md
-BATCH = 8
+BATCH = 16
 N_BATCHES = 8
 WARMUP_BATCHES = 2
 
@@ -38,15 +38,21 @@ def main() -> None:
     from muscle_tpu.models import MuSCLe
 
     rng = np.random.default_rng(0)
-    model = MuSCLe(backbone_name="efficientnet-b3", mode="enc", last_pooling=False)
+    # flagship config: bf16 model compute (f32 params, MXU fast path),
+    # stride-16 maps resized straight to original size, f32 fusion
+    model = MuSCLe(
+        backbone_name="efficientnet-b3", mode="enc", last_pooling=False,
+        dtype=jnp.bfloat16,
+    )
     init = jax.jit(
         lambda k: model.init({"params": k}, jnp.zeros((1, 64, 64, 3)), mode="cam")
     )
     variables = init(jax.random.key(0))
 
-    # flagship config: bf16 backbone (MXU fast path), stride-16 maps resized
-    # straight to original size, f32 fusion accumulators
-    engine = CamTTAEngine(model, variables, compute_dtype=jnp.bfloat16, lowres=True)
+    engine = CamTTAEngine(
+        model, variables, compute_dtype=jnp.bfloat16, lowres=True,
+        device_tta=True, max_classes=4, return_cam=False,
+    )
 
     # synthetic VOC-shaped inputs (typical 500x375 / 375x500 mix)
     def make_batch(i):

@@ -36,7 +36,10 @@ def main(argv=None) -> None:
     )
     variables = load_model_variables(args.weights, model, (1, 64, 64, 3), "cam")
     scales = tuple(float(s) for s in args.scales.split(","))
-    engine = CamTTAEngine(model, variables, scales=scales, num_classes=args.num_classes)
+    engine = CamTTAEngine(
+        model, variables, scales=scales, num_classes=args.num_classes,
+        return_cam=bool(args.save_cam),
+    )
 
     names, labels = load_lists(args, args.infer_list)
     if args.out_npy:

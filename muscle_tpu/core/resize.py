@@ -153,6 +153,49 @@ def dynamic_window_resize(
     return gather_axis(out, xs, 1)
 
 
+def _cubic_kernel(t: jax.Array, a: float = -0.5) -> jax.Array:
+    """Keys cubic convolution kernel (a=-0.5, what PIL's BICUBIC uses)."""
+    at = jnp.abs(t)
+    w1 = (a + 2.0) * at**3 - (a + 3.0) * at**2 + 1.0
+    w2 = a * (at**3 - 5.0 * at**2 + 8.0 * at - 4.0)
+    return jnp.where(at <= 1.0, w1, jnp.where(at < 2.0, w2, 0.0))
+
+
+def dynamic_cubic_resize_weights(
+    src_len: jax.Array,
+    dst_len: jax.Array,
+    src_cap: int,
+    dst_cap: int,
+    flip: bool = False,
+) -> jax.Array:
+    """(dst_cap, src_cap) on-device bicubic interpolation weights for a
+    dynamic src_len -> dst_len resize (both live in static canvases).
+
+    Replicates PIL's antialiased BICUBIC (half-pixel centres, kernel
+    support widened by the downscale factor, boundary renormalisation) —
+    the resample the reference's MSF datasets use (src/data.py:162).  Rows
+    beyond dst_len are zero; columns beyond src_len are masked out before
+    row normalisation.  ``flip=True`` samples the source right-to-left
+    (fused TTA flip).
+    """
+    src = src_len.astype(jnp.float32)
+    dst = dst_len.astype(jnp.float32)
+    i = jax.lax.broadcasted_iota(jnp.float32, (dst_cap, src_cap), 0)
+    if flip:
+        i = dst - 1.0 - i
+    y = jax.lax.broadcasted_iota(jnp.float32, (dst_cap, src_cap), 1)
+    center = (i + 0.5) * src / dst - 0.5
+    support_scale = jnp.maximum(src / dst, 1.0)  # PIL antialias widening
+    w = _cubic_kernel((y - center) / support_scale)
+    w = jnp.where(y < src, w, 0.0)  # clip to valid source
+    w = jnp.where(
+        (jax.lax.broadcasted_iota(jnp.float32, (dst_cap, src_cap), 0) < dst),
+        w, 0.0,
+    )
+    denom = jnp.sum(w, axis=1, keepdims=True)
+    return w / jnp.where(denom == 0.0, 1.0, denom)
+
+
 def avg_pool_3x3_s2(x: jax.Array) -> jax.Array:
     """3x3/stride-2/pad-1 average pool with count_include_pad=True.
 

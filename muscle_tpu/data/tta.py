@@ -60,12 +60,17 @@ def msf_batch(
     names: list[str],
     scale: float,
     canvas: int | None = None,
+    flip: bool = True,
 ) -> MSFBatch:
     """Resize a batch of images to ``scale`` (CUBIC, like the reference),
-    normalise, and place orig+flip into a static canvas."""
+    normalise, and place orig(+flip) into a static canvas.
+
+    flip=False gives the MS (no-flip) variant (reference
+    VOC12ClsDatasetMS, src/data.py:367-391)."""
     b = len(pil_images)
     side = canvas or bucket_side(scale)
-    out = np.zeros((2 * b, side, side, 3), np.float32)
+    per = 2 if flip else 1
+    out = np.zeros((per * b, side, side, 3), np.float32)
     sizes = np.zeros((b, 2), np.int32)
     orig = np.zeros((b, 2), np.int32)
     for i, img in enumerate(pil_images):
@@ -73,8 +78,9 @@ def msf_batch(
         orig[i] = (h, w)
         tw, th = scaled_size(w, h, scale)
         arr = T.color_norm(np.asarray(img.resize((tw, th), resample=T.BICUBIC)))
-        out[2 * i, :th, :tw] = arr
-        out[2 * i + 1, :th, :tw] = arr[:, ::-1]
+        out[per * i, :th, :tw] = arr
+        if flip:
+            out[per * i + 1, :th, :tw] = arr[:, ::-1]
         sizes[i] = (th, tw)
     return MSFBatch(scale, out, sizes, list(names), orig)
 

@@ -22,8 +22,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from muscle_tpu.core.resize import dynamic_window_resize
+from muscle_tpu.core.resize import dynamic_cubic_resize_weights, dynamic_window_resize
 from muscle_tpu.data.tta import msf_batch, bucket_side
+from muscle_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
 
 
 class CamTTAEngine:
@@ -41,6 +42,13 @@ class CamTTAEngine:
         size (one bilinear resize) instead of the reference's two-stage
         p7 -> input-size -> original chain — ~10x less resize compute; the
         full-fidelity chain is kept under lowres=False for parity checks.
+      device_tta: upload each image ONCE as uint8 and do the multi-scale
+        bicubic resize + normalisation + flip on device (PIL-compatible
+        cubic weights as MXU matmuls), and download only the classes the
+        image is labelled with.  Cuts host<->device traffic ~50x — the
+        host link, not the TPU, bounds TTA throughput otherwise.
+      max_classes: per-image class budget for the selective download
+        (device_tta path; VOC images rarely exceed 4 labels).
     """
 
     def __init__(
@@ -53,6 +61,9 @@ class CamTTAEngine:
         max_side: int = 500,
         compute_dtype=jnp.float32,
         lowres: bool = True,
+        device_tta: bool = True,
+        max_classes: int = 8,
+        return_cam: bool = True,
     ):
         self.model = model
         self.variables = variables
@@ -62,7 +73,14 @@ class CamTTAEngine:
         self.max_side = max_side
         self.compute_dtype = compute_dtype
         self.lowres = lowres
+        self.device_tta = device_tta
+        self.max_classes = max_classes
+        # the reference artifact is the SGC dict only (infer_mcl.py:180-182,
+        # raw-CAM saving is commented out); skipping the CAM download halves
+        # device->host traffic on the fast path
+        self.return_cam = return_cam
         self._scale_fn = {}
+        self._device_scale_fn = {}
 
     def _fn_for(self, scale: float, batch: int):
         key = (scale, batch)
@@ -124,6 +142,114 @@ class CamTTAEngine:
             self._scale_fn[key] = run
         return self._scale_fn[key]
 
+    def _device_fn_for(self, scale: float, batch: int):
+        """device_tta per-scale program: uint8 originals -> scaled
+        normalised (orig, flip) pair on device -> model -> accumulate."""
+        key = (scale, batch)
+        if key not in self._device_scale_fn:
+            model = self.model
+            out_side = self.out_side
+            cdt = self.compute_dtype
+            lowres = self.lowres
+            canvas = bucket_side(scale, self.max_side)
+            in_side = self.out_side  # original-size canvas
+            mean = jnp.asarray(IMAGENET_MEAN[0, 0], jnp.float32)
+            std = jnp.asarray(IMAGENET_STD[0, 0], jnp.float32)
+
+            @functools.partial(jax.jit, donate_argnums=(3, 4, 5))
+            def run(variables, images_u8, orig_sizes, cam_sum, sgc_sum, logits_sum):
+                scaled = jnp.round(orig_sizes.astype(jnp.float32) * scale).astype(jnp.int32)
+
+                def make_pair(img_u8, osz, ssz):
+                    x = (img_u8.astype(jnp.float32) / 255.0 - mean) / std
+                    wh = dynamic_cubic_resize_weights(osz[0], ssz[0], in_side, canvas)
+                    ww = dynamic_cubic_resize_weights(osz[1], ssz[1], in_side, canvas)
+                    wwf = dynamic_cubic_resize_weights(
+                        osz[1], ssz[1], in_side, canvas, flip=True
+                    )
+                    a = jnp.einsum("Iy,yxc->Ixc", wh, x)
+                    return jnp.einsum("Jx,Ixc->IJc", ww, a), jnp.einsum("Jx,Ixc->IJc", wwf, a)
+
+                orig_v, flip_v = jax.vmap(make_pair)(images_u8, orig_sizes, scaled)
+                images = jnp.stack([orig_v, flip_v], axis=1).reshape(
+                    -1, canvas, canvas, 3
+                )
+
+                mode = "cam_lowres" if lowres else "cam"
+                cams, sgcs, _, logits = model.apply(
+                    variables, images.astype(cdt), mode=mode
+                )
+                cams = cams.astype(jnp.float32)
+                sgcs = sgcs.astype(jnp.float32)
+                logits = logits.astype(jnp.float32)
+                feat_stride = canvas // cams.shape[1]
+
+                def per_image(cam2, sgc2, size, orig):
+                    if lowres:
+                        size = (size + feat_stride - 1) // feat_stride
+                    box = jnp.concatenate([jnp.zeros(2, jnp.int32), size])
+
+                    def resize(m, flip):
+                        return dynamic_window_resize(
+                            m, box, (out_side, out_side), dst_hw=orig,
+                            align_corners=lowres, flip_x=flip,
+                        )
+
+                    rows = jnp.arange(out_side)[:, None]
+                    cols = jnp.arange(out_side)[None, :]
+                    valid = ((rows < orig[0]) & (cols < orig[1]))[..., None]
+                    cam = (resize(cam2[0], False) + resize(cam2[1], True)) * valid
+                    sgc = (resize(sgc2[0], False) + resize(sgc2[1], True)) * valid
+                    return cam, sgc
+
+                b = orig_sizes.shape[0]
+                cam_pairs = cams.reshape(b, 2, *cams.shape[1:])
+                sgc_pairs = sgcs.reshape(b, 2, *sgcs.shape[1:])
+                cam_acc, sgc_acc = jax.vmap(per_image)(
+                    cam_pairs, sgc_pairs, scaled, orig_sizes
+                )
+                return (
+                    cam_sum + cam_acc,
+                    sgc_sum + sgc_acc,
+                    logits_sum + logits.reshape(b, 2, -1).sum(axis=1),
+                )
+
+            self._device_scale_fn[key] = run
+        return self._device_scale_fn[key]
+
+    @functools.cached_property
+    def _fuse_select(self):
+        out_side = self.out_side
+        return_cam = self.return_cam
+
+        @jax.jit
+        def fuse(cam_sum, sgc_sum, orig_sizes, logits_sum, n_versions, class_idx):
+            """Fusion + per-image class gather (download only the labelled
+            classes).  class_idx: (B, K) foreground class indices (padded
+            with 0; the host drops the padding)."""
+            rows = jnp.arange(out_side)[:, None]
+            cols = jnp.arange(out_side)[None, :]
+
+            def norm(m, orig, idx):
+                valid = ((rows < orig[0]) & (cols < orig[1]))[..., None]
+                fg = jnp.where(m < 0, 0.0, m)[..., 1:]
+                fg = jnp.take(fg, idx, axis=-1)  # (out, out, K)
+                big = jnp.where(valid, fg, -jnp.inf)
+                small = jnp.where(valid, fg, jnp.inf)
+                mx = jnp.max(big, axis=(0, 1), keepdims=True)
+                mn = jnp.min(small, axis=(0, 1), keepdims=True)
+                fg = jnp.where(fg < mn + 1e-6, 0.0, fg)
+                return (fg - mn - 1e-6) / (mx - mn + 1e-6) * valid
+
+            sgc = jax.vmap(norm)(sgc_sum, orig_sizes, class_idx)
+            score = jax.nn.sigmoid(logits_sum[:, 1:] / n_versions)
+            if return_cam:
+                cam = jax.vmap(norm)(cam_sum, orig_sizes, class_idx)
+                return cam.astype(jnp.float16), sgc.astype(jnp.float16), score
+            return sgc.astype(jnp.float16), score
+
+        return fuse
+
     @functools.cached_property
     def _fuse(self):
         out_side = self.out_side
@@ -156,6 +282,8 @@ class CamTTAEngine:
         """Returns per-image dicts: name, cam_dict/sgc_dict ({cls: (H, W)}
         float16, labelled classes only) and score (20,) — the exact npy
         artifact contract of infer_mcl.py:166-182."""
+        if self.device_tta:
+            return self._run_batch_device(pil_images, names, labels)
         b = len(pil_images)
         cam_sum = jnp.zeros((b, self.out_side, self.out_side, self.num_classes), jnp.float32)
         sgc_sum = jnp.zeros_like(cam_sum)
@@ -189,4 +317,60 @@ class CamTTAEngine:
                     "score": score[i],
                 }
             )
+        return out
+
+    def _run_batch_device(self, pil_images, names, labels) -> list[dict]:
+        """device_tta fast path: one uint8 upload per image, all scaling on
+        device, label-selected download."""
+        b = len(pil_images)
+        side = self.out_side
+        canvas = np.zeros((b, side, side, 3), np.uint8)
+        orig_sizes = np.zeros((b, 2), np.int32)
+        for i, img in enumerate(pil_images):
+            w, h = img.size
+            if h > side or w > side:
+                raise ValueError(f"image {names[i]} ({h}x{w}) exceeds canvas {side}")
+            canvas[i, :h, :w] = np.asarray(img)[..., :3]
+            orig_sizes[i] = (h, w)
+
+        k = self.max_classes
+        class_idx = np.zeros((b, k), np.int32)
+        counts = np.zeros(b, np.int32)
+        for i, lab in enumerate(labels):
+            keep = np.nonzero(np.asarray(lab) > 1e-5)[0][:k]
+            class_idx[i, : len(keep)] = keep
+            counts[i] = len(keep)
+
+        cam_sum = jnp.zeros((b, side, side, self.num_classes), jnp.float32)
+        sgc_sum = jnp.zeros_like(cam_sum)
+        logits_sum = jnp.zeros((b, self.num_classes), jnp.float32)
+        images_dev = jnp.asarray(canvas)
+        sizes_dev = jnp.asarray(orig_sizes)
+        for s in self.scales:
+            fn = self._device_fn_for(s, b)
+            cam_sum, sgc_sum, logits_sum = fn(
+                self.variables, images_dev, sizes_dev, cam_sum, sgc_sum, logits_sum
+            )
+        fused = self._fuse_select(
+            cam_sum, sgc_sum, sizes_dev, logits_sum,
+            jnp.float32(2 * len(self.scales)), jnp.asarray(class_idx),
+        )
+        if self.return_cam:
+            cam, sgc, score = (np.asarray(a) for a in fused)
+        else:
+            cam = None
+            sgc, score = (np.asarray(a) for a in fused)
+
+        out = []
+        for i, name in enumerate(names):
+            hh, ww = orig_sizes[i]
+            ks = class_idx[i, : counts[i]]
+            rec = {
+                "name": name,
+                "sgc": {int(c): sgc[i, :hh, :ww, j] for j, c in enumerate(ks)},
+                "score": score[i],
+            }
+            if cam is not None:
+                rec["cam"] = {int(c): cam[i, :hh, :ww, j] for j, c in enumerate(ks)}
+            out.append(rec)
         return out

@@ -131,6 +131,27 @@ def test_cam_lowres_close_to_fullres(enc_model):
         assert corr > 0.95
 
 
+def test_cam_device_tta_matches_host_path(enc_model):
+    """The device-resident TTA (uint8 upload + on-device PIL-compatible
+    cubic resize + selective download) must reproduce the host-prep path."""
+    model, variables = enc_model
+    rng = np.random.default_rng(9)
+    imgs = _imgs([(50, 40)], seed=9)
+    lab = np.zeros(20, np.float32)
+    lab[3] = 1
+    kw = dict(scales=(0.5, 1.0), out_side=64, max_side=50)
+    host = CamTTAEngine(model, variables, device_tta=False, **kw).run_batch(
+        imgs, ["a"], [lab]
+    )[0]
+    dev = CamTTAEngine(model, variables, device_tta=True, **kw).run_batch(
+        imgs, ["a"], [lab]
+    )[0]
+    np.testing.assert_allclose(
+        dev["sgc"][3].astype(np.float32), host["sgc"][3].astype(np.float32), atol=5e-3
+    )
+    np.testing.assert_allclose(dev["score"], host["score"], atol=1e-4)
+
+
 def test_random_walk_refiner(tmp_path):
     model = EdgeDisplacement(crop_size=64)
     variables = model.init(
