@@ -19,7 +19,7 @@ import time
 import numpy as np
 
 H100_REFERENCE_IMGS_PER_SEC = 25.0  # documented estimate, BASELINE.md
-BATCH = 16
+BATCH = 8
 N_BATCHES = 8
 WARMUP_BATCHES = 2
 
@@ -71,11 +71,18 @@ def main() -> None:
     for i in range(WARMUP_BATCHES):
         engine.run_batch(*make_batch(i))
 
+    # 3-deep async pipeline: downloads overlap the next batches' compute
+    import collections
+
     start = time.perf_counter()
     n_imgs = 0
+    pending = collections.deque()
     for i in range(N_BATCHES):
-        out = engine.run_batch(*make_batch(100 + i))
-        n_imgs += len(out)
+        pending.append(engine.run_batch_async(*make_batch(100 + i)))
+        if len(pending) > 2:
+            n_imgs += len(pending.popleft()())
+    while pending:
+        n_imgs += len(pending.popleft()())
     elapsed = time.perf_counter() - start
 
     ips = n_imgs / elapsed

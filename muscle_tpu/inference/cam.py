@@ -319,7 +319,15 @@ class CamTTAEngine:
             )
         return out
 
-    def _run_batch_device(self, pil_images, names, labels) -> list[dict]:
+    def run_batch_async(self, pil_images, names, labels):
+        """Dispatch a device_tta batch without blocking; returns a
+        ``finalize() -> list[dict]`` closure.  Call the next batch's
+        dispatch before finalizing this one to overlap the device->host
+        download with the next batch's compute (2-deep pipeline)."""
+        assert self.device_tta, "async pipeline requires device_tta"
+        return self._run_batch_device(pil_images, names, labels, defer=True)
+
+    def _run_batch_device(self, pil_images, names, labels, defer: bool = False):
         """device_tta fast path: one uint8 upload per image, all scaling on
         device, label-selected download."""
         b = len(pil_images)
@@ -355,22 +363,25 @@ class CamTTAEngine:
             cam_sum, sgc_sum, sizes_dev, logits_sum,
             jnp.float32(2 * len(self.scales)), jnp.asarray(class_idx),
         )
-        if self.return_cam:
-            cam, sgc, score = (np.asarray(a) for a in fused)
-        else:
-            cam = None
-            sgc, score = (np.asarray(a) for a in fused)
 
-        out = []
-        for i, name in enumerate(names):
-            hh, ww = orig_sizes[i]
-            ks = class_idx[i, : counts[i]]
-            rec = {
-                "name": name,
-                "sgc": {int(c): sgc[i, :hh, :ww, j] for j, c in enumerate(ks)},
-                "score": score[i],
-            }
-            if cam is not None:
-                rec["cam"] = {int(c): cam[i, :hh, :ww, j] for j, c in enumerate(ks)}
-            out.append(rec)
-        return out
+        def finalize() -> list[dict]:
+            if self.return_cam:
+                cam, sgc, score = (np.asarray(a) for a in fused)
+            else:
+                cam = None
+                sgc, score = (np.asarray(a) for a in fused)
+            out = []
+            for i, name in enumerate(names):
+                hh, ww = orig_sizes[i]
+                ks = class_idx[i, : counts[i]]
+                rec = {
+                    "name": name,
+                    "sgc": {int(c): sgc[i, :hh, :ww, j] for j, c in enumerate(ks)},
+                    "score": score[i],
+                }
+                if cam is not None:
+                    rec["cam"] = {int(c): cam[i, :hh, :ww, j] for j, c in enumerate(ks)}
+                out.append(rec)
+            return out
+
+        return finalize if defer else finalize()
