@@ -27,6 +27,8 @@ def main(argv=None) -> None:
     p.add_argument("--sem_seg_out_dir", default="./irn_rw", type=str)
     p.add_argument("--infer_list", default="data/train.txt", type=str)
     p.add_argument("--soft_output", default=0, type=int)
+    p.add_argument("--walk_method", default="banded",
+                   choices=["vector", "banded", "power"], type=str)
     add_voc_args(p)
     args = p.parse_args(argv)
 
@@ -42,7 +44,7 @@ def main(argv=None) -> None:
 
     refiner = RandomWalkRefiner(
         model, variables, beta=args.beta, exp_times=args.exp_times,
-        bg_threshold=args.sem_seg_bg_thres,
+        bg_threshold=args.sem_seg_bg_thres, walk_method=args.walk_method,
     )
 
     names, _ = load_lists(args, args.infer_list)

@@ -43,6 +43,7 @@ class RandomWalkRefiner:
         radius: int = 5,
         crop_size: int = 512,
         stride: int = 4,
+        walk_method: str = "vector",
     ):
         self.model = irn_model
         self.variables = variables
@@ -53,6 +54,9 @@ class RandomWalkRefiner:
         self.crop_size = crop_size
         self.stride = stride
         self.grid = crop_size // stride  # static walk grid side
+        # 'banded' uses the Pallas band kernel (TPU; bit-identical to
+        # 'vector' at the production grid, ~25% faster end-to-end)
+        self.walk_method = walk_method
 
     @functools.cached_property
     def _refine(self):
@@ -92,7 +96,8 @@ class RandomWalkRefiner:
             cam_small = cam_small * fvalid[None]
 
             rw = propagate_to_edge(
-                cam_small, edge, radius=radius, beta=beta, exp_times=exp_times
+                cam_small, edge, radius=radius, beta=beta, exp_times=exp_times,
+                method=self.walk_method,
             )
             rw_up = resize_bilinear(
                 rw.transpose(1, 2, 0), (crop, crop), align_corners=False

@@ -94,6 +94,37 @@ def _cached_path_index(radius: int, size: tuple[int, int]) -> PathIndex:
     return PathIndex(radius, size)
 
 
+@functools.lru_cache(maxsize=8)
+def _cached_cropped_pairs(radius: int, hw: tuple[int, int]):
+    """Pair indices translated from the padded walk grid straight into the
+    cropped (h*w, h*w) matrix — skips materialising the padded (V', V')
+    dense + the crop copy (the construction, not the walk, dominates
+    propagate time once the walk is banded).
+
+    Returns (sel, rows, cols): ``sel`` indexes the flattened (D*P,)
+    affinity vector; rows/cols are symmetric scatter targets (each kept
+    pair appears twice).
+    """
+    h, w = hw
+    hp, wp = h + radius, w + 2 * radius
+    pi = _cached_path_index(radius, (hp, wp))
+    src = np.broadcast_to(pi.src_indices[None, :], pi.dst_indices.shape).reshape(-1)
+    dst = pi.dst_indices.reshape(-1)
+
+    def to_cropped(idx):
+        r, c = idx // wp, idx % wp
+        valid = (r < h) & (c >= radius) & (c < radius + w)
+        return r * w + (c - radius), valid
+
+    s_idx, s_ok = to_cropped(src)
+    d_idx, d_ok = to_cropped(dst)
+    keep = s_ok & d_ok
+    sel = np.nonzero(keep)[0]
+    rows = np.concatenate([s_idx[keep], d_idx[keep]])
+    cols = np.concatenate([d_idx[keep], s_idx[keep]])
+    return sel, rows, cols
+
+
 def edge_to_affinity(edge_flat: jax.Array, path_index: PathIndex) -> jax.Array:
     """affinity(src, dst) = 1 - max(edge along the path) (reference :77-94).
 
@@ -160,10 +191,15 @@ def propagate_to_edge(
         edge, ((0, radius), (radius, radius)), constant_values=1.0
     ).reshape(-1)
     aff = edge_to_affinity(edge_padded, pi)
-    dense = affinity_to_dense(aff, pi)
-    # crop padded vertices -> (h*w, h*w) (reference :139-141)
-    dense = dense.reshape(hp, wp, hp, wp)[:h, radius : radius + w, :h, radius : radius + w]
-    dense = dense.reshape(h * w, h * w)
+    # scatter straight into the cropped (h*w, h*w) matrix (equivalent to
+    # the reference's padded-build-then-crop, :97-113 + :139-141)
+    sel, rows, cols = _cached_cropped_pairs(radius, (h, w))
+    vals = aff.reshape(-1)[jnp.asarray(sel)]
+    dense = jnp.zeros((h * w, h * w), dtype=aff.dtype)
+    dense = dense.at[jnp.asarray(rows), jnp.asarray(cols)].add(
+        jnp.concatenate([vals, vals])
+    )
+    dense = dense + jnp.eye(h * w, dtype=aff.dtype)
 
     scaled = dense**beta
     trans = scaled / jnp.sum(scaled, axis=0, keepdims=True)
