@@ -34,6 +34,10 @@ def main(argv=None) -> None:
                    help="resume full train state (params+optimizer) from "
                         "<session_name>/step_<epoch> — unlike the reference, "
                         "optimizer state survives restarts")
+    p.add_argument("--profile_dir", default=None, type=str,
+                   help="capture a jax.profiler trace of steps 10-13 of "
+                        "epoch 0 (the reference installs torch-tb-profiler "
+                        "but never wires it in, SURVEY §5)")
     add_voc_args(p)
     args = p.parse_args(argv)
 
@@ -90,6 +94,10 @@ def main(argv=None) -> None:
         for ep in range(start_epoch, args.max_epoches):
             cfg = MCLConfig(use_imc=ep >= 4, use_pixpro=ep >= 8, use_emd=ep >= 12)
             for it, batch in enumerate(loader.epoch(ep)):
+                if args.profile_dir and ep == 0 and it == 10:
+                    jax.profiler.start_trace(args.profile_dir)
+                if args.profile_dir and ep == 0 and it == 14:
+                    jax.profiler.stop_trace()
                 rng, r1, r2 = jax.random.split(rng, 3)
                 dev = shard_batch(mesh, batch)
                 state, metrics = mcl_train_step(model, tx, state, dev, r1, cfg)

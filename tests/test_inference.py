@@ -89,6 +89,20 @@ def test_seg_engine_probs(enc_model):
     assert np.abs(gated[..., 1:5]).max() == 0
 
 
+def test_seg_device_tta_matches_host(enc_model):
+    model = MuSCLe(
+        backbone_name="efficientnet-b1", mode="dec", bifpn_layers=1, last_pooling=True
+    )
+    variables = model.init(
+        {"params": jax.random.key(7)}, jnp.zeros((1, 32, 32, 3)), mode="seg"
+    )
+    imgs = _imgs([(50, 40)], seed=11)
+    kw = dict(scales=(0.5, 1.0), out_side=64, max_side=50)
+    host = SegTTAEngine(model, variables, device_tta=False, **kw).run_batch(imgs, ["a"])[0]
+    dev = SegTTAEngine(model, variables, device_tta=True, **kw).run_batch(imgs, ["a"])[0]
+    np.testing.assert_allclose(dev["probs"], host["probs"], atol=5e-3)
+
+
 def test_seg_lowres_matches_fullres(enc_model):
     """stride-4 logits + engine upsample must equal the reference-shaped
     full-res path (1x1 conv commutes with bilinear resize)."""
