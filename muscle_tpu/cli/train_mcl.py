@@ -34,6 +34,9 @@ def main(argv=None) -> None:
                    help="resume full train state (params+optimizer) from "
                         "<session_name>/step_<epoch> — unlike the reference, "
                         "optimizer state survives restarts")
+    p.add_argument("--bf16", default=0, type=int,
+                   help="bf16 model compute (f32 params/optimizer) — the "
+                        "TPU mixed-precision fast path; ~2x step time")
     p.add_argument("--profile_dir", default=None, type=str,
                    help="capture a jax.profiler trace of steps 10-13 of "
                         "epoch 0 (the reference installs torch-tb-profiler "
@@ -66,9 +69,12 @@ def main(argv=None) -> None:
         shard=(jax.process_index(), jax.process_count()),
     )
 
+    import jax.numpy as jnp
+
     model = MuSCLe(
         num_classes=args.num_classes, backbone_name="efficientnet-b3",
         bifpn_layers=3, mode="enc", last_pooling=False,
+        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
     )
     variables = load_model_variables(
         args.weights, model, (1, args.crop_size, args.crop_size, 3), "cam"

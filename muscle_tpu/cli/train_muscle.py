@@ -34,6 +34,7 @@ def main(argv=None) -> None:
     p.add_argument("--bifpn", default=3, type=int)
     p.add_argument("--log_dir", default="logs/muscle", type=str)
     p.add_argument("--resume_epoch", default=None, type=int)
+    p.add_argument("--bf16", default=0, type=int)
     add_voc_args(p)
     args = p.parse_args(argv)
 
@@ -57,10 +58,13 @@ def main(argv=None) -> None:
         shard=(jax.process_index(), jax.process_count()),
     )
 
+    import jax.numpy as jnp
+
     model = MuSCLe(
         num_classes=args.num_classes,
         backbone_name="efficientnet-" + args.pretrained,
         bifpn_layers=args.bifpn, mode="dec", last_pooling=True,
+        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
     )
     variables = load_model_variables(
         args.weights, model, (1, args.crop_size, args.crop_size, 3), "seg"

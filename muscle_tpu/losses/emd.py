@@ -77,31 +77,9 @@ def _dynamic_window_resize(
     """Bilinearly sample a dynamic (r, c, h, w) window of an (H, W, C) map
     onto a static (oh, ow) grid, align_corners=True (matching the
     F.interpolate call in get_dynamic_crops, src/torchutils.py:268)."""
-    hh, ww, _ = fm.shape
-    oh, ow = out_hw
-    r, c, h, w = box[0], box[1], box[2], box[3]
+    from muscle_tpu.core.resize import dynamic_window_resize
 
-    def axis_coords(start, size, out_size, limit):
-        scale = (size.astype(jnp.float32) - 1.0) / max(out_size - 1, 1)
-        src = start.astype(jnp.float32) + jnp.arange(out_size, dtype=jnp.float32) * scale
-        return jnp.clip(src, 0.0, limit - 1.0)
-
-    ys = axis_coords(r, h, oh, hh)
-    xs = axis_coords(c, w, ow, ww)
-
-    def gather_axis(arr, coords, axis):
-        lo = jnp.clip(jnp.floor(coords).astype(jnp.int32), 0, arr.shape[axis] - 2)
-        frac = coords - lo
-        a = jnp.take(arr, lo, axis=axis)
-        b = jnp.take(arr, lo + 1, axis=axis)
-        shape = [1] * arr.ndim
-        shape[axis] = -1
-        frac = frac.reshape(shape)
-        return a * (1 - frac) + b * frac
-
-    out = gather_axis(fm, ys, 0)
-    out = gather_axis(out, xs, 1)
-    return out
+    return dynamic_window_resize(fm, box, out_hw, align_corners=True)
 
 
 def _overlap_box(coord: jax.Array) -> jax.Array:
