@@ -23,6 +23,18 @@ import numpy as np
 from muscle_tpu.ops.random_walk import PathIndex
 
 
+def get_indices_of_pairs(radius: int, size: tuple[int, int]):
+    """Pairwise (from, to) flat-index arrays for all pixel pairs within
+    ``radius`` on a grid (reference pyutils.get_indices_of_pairs,
+    src/pyutils.py:137-176 capability; here derived from the PathIndex
+    enumeration so the pair order matches the affinity machinery).
+
+    Returns (indices_from (P,), indices_to (D, P)).
+    """
+    pi = PathIndex(radius, size)
+    return pi.src_indices.copy(), pi.dst_indices.copy()
+
+
 def affinity_labels_from_indices(
     label_flat: jax.Array, path_index: PathIndex
 ) -> tuple[jax.Array, jax.Array, jax.Array]:

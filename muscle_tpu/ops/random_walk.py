@@ -234,3 +234,76 @@ def propagate_to_edge(
 
 def _round_up_128(x: int) -> int:
     return (x + 127) // 128 * 128
+
+
+def propagate_to_edge_sharded(
+    cam: jax.Array,
+    edge: jax.Array,
+    mesh,
+    radius: int = 5,
+    beta: int = 8,
+    exp_times: int = 6,
+    axis: str = "data",
+):
+    """Random-walk propagation with the (V, V) transition matrix sharded
+    over a mesh axis (SURVEY §2.5(c): the only memory-quadratic op; at
+    larger-than-VOC resolutions a single chip cannot hold V^2 floats).
+
+    T is column-sharded; each step computes the local column block of
+    x @ T and all-gathers the (tiny, C x V) iterate — the collective rides
+    ICI, cost C*V per step vs the V^2/n_dev local matmul.
+
+    Runs under `with mesh:`; V must be divisible by the axis size.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    c, h, w = cam.shape
+    v = h * w
+    n_dev = mesh.shape[axis]
+    if v % n_dev != 0:
+        raise ValueError(f"V={v} not divisible by mesh axis {axis}={n_dev}")
+
+    hp, wp = h + radius, w + 2 * radius
+    pi = _cached_path_index(radius, (hp, wp))
+    edge_padded = jnp.pad(
+        edge, ((0, radius), (radius, radius)), constant_values=1.0
+    ).reshape(-1)
+
+    col_sharded = NamedSharding(mesh, P(None, axis))
+    replicated = NamedSharding(mesh, P())
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=(),
+        out_shardings=replicated,
+    )
+    def run(edge_padded, cam):
+        aff = edge_to_affinity(edge_padded, pi)
+        sel, rows, cols = _cached_cropped_pairs(radius, (h, w))
+        vals = aff.reshape(-1)[jnp.asarray(sel)]
+        dense = jnp.zeros((v, v), dtype=aff.dtype)
+        dense = dense.at[jnp.asarray(rows), jnp.asarray(cols)].add(
+            jnp.concatenate([vals, vals])
+        )
+        dense = dense + jnp.eye(v, dtype=aff.dtype)
+        dense = jax.lax.with_sharding_constraint(dense, col_sharded)
+
+        scaled = dense**beta
+        # column norm: each shard owns whole columns -> purely local
+        trans = scaled / jnp.sum(scaled, axis=0, keepdims=True)
+        trans = jax.lax.with_sharding_constraint(trans, col_sharded)
+
+        x = (cam * (1.0 - edge_padded.reshape(hp, wp)[:h, radius : radius + w])[None]).reshape(
+            c, v
+        )
+
+        def body(_, acc):
+            nxt = acc @ trans  # local column block per shard
+            # all-gather the small iterate so every shard has full x again
+            return jax.lax.with_sharding_constraint(nxt, replicated)
+
+        rw = jax.lax.fori_loop(0, 2**exp_times, body, x)
+        return rw.reshape(c, h, w)
+
+    with mesh:
+        return run(edge_padded, cam)

@@ -56,6 +56,23 @@ def test_local_batch_slice():
         local_batch_slice(30, process_index=0, process_count=4)
 
 
+def test_sharded_random_walk_matches_single_device():
+    """Column-sharded transition matrix + per-step all-gather must match
+    the single-device walk (SURVEY §2.5(c))."""
+    from muscle_tpu.ops import propagate_to_edge, propagate_to_edge_sharded
+
+    rng = np.random.default_rng(5)
+    h, w = 8, 16  # V=128, divisible by 8 devices
+    cam = jnp.asarray(rng.uniform(0, 1, (3, h, w)).astype(np.float32))
+    edge = jnp.asarray(rng.uniform(0, 0.5, (h, w)).astype(np.float32))
+    base = np.asarray(propagate_to_edge(cam, edge, exp_times=3))
+    mesh = make_mesh()
+    sharded = np.asarray(
+        propagate_to_edge_sharded(cam, edge, mesh, exp_times=3)
+    )
+    np.testing.assert_allclose(sharded, base, rtol=2e-3, atol=1e-5)
+
+
 @pytest.mark.slow
 def test_dryrun_multichip_trains():
     import __graft_entry__ as g
