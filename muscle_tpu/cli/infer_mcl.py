@@ -24,6 +24,8 @@ def main(argv=None) -> None:
     p.add_argument("--save_cam", default=0, type=int, help="also save raw CAM dicts")
     p.add_argument("--batch_size", default=8, type=int)
     p.add_argument("--scales", default="0.5,1,1.5,2", type=str)
+    p.add_argument("--backbone", default="efficientnet-b3", type=str,
+                   help="reference uses b3; smaller variants for smoke runs")
     add_voc_args(p)
     args = p.parse_args(argv)
 
@@ -31,7 +33,7 @@ def main(argv=None) -> None:
     from muscle_tpu.models import MuSCLe
 
     model = MuSCLe(
-        num_classes=args.num_classes, backbone_name="efficientnet-b3",
+        num_classes=args.num_classes, backbone_name=args.backbone,
         bifpn_layers=3, mode="enc", last_pooling=False,
     )
     variables = load_model_variables(args.weights, model, (1, 64, 64, 3), "cam")

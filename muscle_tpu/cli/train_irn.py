@@ -36,7 +36,7 @@ def main(argv=None) -> None:
     from muscle_tpu.data import PrefetchLoader
     from muscle_tpu.data.voc12 import VOC12AffinityDataset
     from muscle_tpu.models import IRNNet
-    from muscle_tpu.parallel import make_mesh, replicate, shard_batch
+    from muscle_tpu.parallel import make_data_mesh_for_batch, replicate, shard_batch
     from muscle_tpu.training import create_train_state
     from muscle_tpu.training.irn import IRNTrainConfig, irn_train_step
     from muscle_tpu.training.state import save_checkpoint
@@ -67,7 +67,7 @@ def main(argv=None) -> None:
     )(learning_rate=optax.polynomial_schedule(args.lr, 0.0, 0.9, steps_total))
     state = create_train_state(variables, tx)
 
-    mesh = make_mesh()
+    mesh = make_data_mesh_for_batch(args.batch_size)
     state = replicate(mesh, state)
     cfg = IRNTrainConfig(crop_size=args.crop_size)
     os.makedirs(args.session_name, exist_ok=True)

@@ -34,6 +34,7 @@ def main(argv=None) -> None:
                    help="resume full train state (params+optimizer) from "
                         "<session_name>/step_<epoch> — unlike the reference, "
                         "optimizer state survives restarts")
+    p.add_argument("--backbone", default="efficientnet-b3", type=str)
     p.add_argument("--bf16", default=0, type=int,
                    help="bf16 model compute (f32 params/optimizer) — the "
                         "TPU mixed-precision fast path; ~2x step time")
@@ -48,7 +49,7 @@ def main(argv=None) -> None:
 
     from muscle_tpu.data import PrefetchLoader, VOC12ClsPixDataset
     from muscle_tpu.models import MuSCLe
-    from muscle_tpu.parallel import make_mesh, replicate, shard_batch
+    from muscle_tpu.parallel import make_data_mesh_for_batch, replicate, shard_batch
     from muscle_tpu.training import (
         MCLConfig,
         ReduceLROnPlateau,
@@ -72,7 +73,7 @@ def main(argv=None) -> None:
     import jax.numpy as jnp
 
     model = MuSCLe(
-        num_classes=args.num_classes, backbone_name="efficientnet-b3",
+        num_classes=args.num_classes, backbone_name=args.backbone,
         bifpn_layers=3, mode="enc", last_pooling=False,
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
     )
@@ -88,7 +89,7 @@ def main(argv=None) -> None:
         state = restore_checkpoint(args.session_name, args.resume_epoch, state)
         start_epoch = args.resume_epoch + 1
 
-    mesh = make_mesh()
+    mesh = make_data_mesh_for_batch(args.batch_size)
     state = replicate(mesh, state)
     sched = ReduceLROnPlateau(args.lr, factor=0.5, patience=0, min_lr=1e-5)
     os.makedirs(args.session_name, exist_ok=True)

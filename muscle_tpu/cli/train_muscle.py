@@ -42,7 +42,7 @@ def main(argv=None) -> None:
 
     from muscle_tpu.data import PrefetchLoader, VOC12SegDataset
     from muscle_tpu.models import MuSCLe
-    from muscle_tpu.parallel import make_mesh, replicate, shard_batch
+    from muscle_tpu.parallel import make_data_mesh_for_batch, replicate, shard_batch
     from muscle_tpu.training import ReduceLROnPlateau, SegConfig, create_train_state, seg_train_step
     from muscle_tpu.training.state import make_adam, save_checkpoint, set_learning_rate
     from muscle_tpu.utils import MetricLogger, Timer
@@ -78,7 +78,7 @@ def main(argv=None) -> None:
         state = restore_checkpoint(args.session_name, args.resume_epoch, state)
         start_epoch = args.resume_epoch + 1
 
-    mesh = make_mesh()
+    mesh = make_data_mesh_for_batch(args.batch_size)
     state = replicate(mesh, state)
     sched = ReduceLROnPlateau(args.lr, factor=0.5, patience=0, min_lr=5e-6)
     cfg = SegConfig(lamb=args.lamb, step=args.step, k=args.k)

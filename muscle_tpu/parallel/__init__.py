@@ -1,5 +1,6 @@
 from muscle_tpu.parallel.mesh import (
     make_mesh,
+    make_data_mesh_for_batch,
     data_sharding,
     replicated_sharding,
     shard_batch,

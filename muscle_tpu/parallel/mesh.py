@@ -47,6 +47,25 @@ def make_mesh(
     return Mesh(arr, ("data", "model"))
 
 
+def make_data_mesh_for_batch(batch_size: int, devices=None) -> Mesh:
+    """Data-parallel mesh sized to the largest device count that divides
+    the per-process batch (a batch of 6 on 8 chips uses 2; warns when
+    devices go idle)."""
+    import warnings
+
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    while n > 1 and batch_size % n != 0:
+        n -= 1
+    if n < len(devices):
+        warnings.warn(
+            f"batch size {batch_size} not divisible by {len(devices)} devices; "
+            f"using a {n}-device data mesh"
+        )
+    return make_mesh(n, devices=devices)
+
+
 def data_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) axis over 'data'."""
     return NamedSharding(mesh, P("data"))

@@ -1,0 +1,164 @@
+"""Host dataset classes + CLI end-to-end on a synthetic miniature VOC tree."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from muscle_tpu.data import (
+    PrefetchLoader,
+    VOC12AffinityDataset,
+    VOC12ClsPixDataset,
+    VOC12SegDataset,
+    build_cls_labels,
+)
+
+
+@pytest.fixture(scope="module")
+def mini_voc(tmp_path_factory):
+    """JPEGImages + SegmentationClass + Annotations + lists + cls_labels."""
+    root = tmp_path_factory.mktemp("voc")
+    img_dir = root / "JPEGImages"
+    seg_dir = root / "SegmentationClass"
+    ann_dir = root / "Annotations"
+    for d in (img_dir, seg_dir, ann_dir):
+        os.makedirs(d)
+    rng = np.random.default_rng(0)
+    names = [f"2007_{i:06d}" for i in range(4)]
+    cats = ["aeroplane", "cat", "dog", "person"]
+    for i, n in enumerate(names):
+        h, w = 60 + 4 * i, 80 - 4 * i
+        Image.fromarray(rng.integers(0, 255, (h, w, 3), dtype=np.uint8)).save(
+            img_dir / f"{n}.jpg"
+        )
+        seg = np.zeros((h, w), np.uint8)
+        seg[10:30, 10:30] = i + 1
+        Image.fromarray(seg).save(seg_dir / f"{n}.png")
+        (ann_dir / f"{n}.xml").write_text(
+            f"<annotation><object><name>{cats[i]}</name></object></annotation>"
+        )
+    (root / "list.txt").write_text("\n".join(names) + "\n")
+    build_cls_labels(names, str(root), str(root / "cls_labels.npy"))
+    return root, names
+
+
+def test_build_cls_labels_from_xml(mini_voc):
+    root, names = mini_voc
+    d = np.load(root / "cls_labels.npy", allow_pickle=True).item()
+    assert d[names[0]][0] == 1.0  # aeroplane
+    assert d[names[1]][7] == 1.0  # cat
+    assert d[names[0]].sum() == 1.0
+
+
+def test_cls_pix_dataset_shapes(mini_voc):
+    root, names = mini_voc
+    labels = np.load(root / "cls_labels.npy", allow_pickle=True).item()
+    ds = VOC12ClsPixDataset(names, str(root), labels, crop_size=64, view_size=(32, 32))
+    rng = np.random.default_rng(0)
+    s = ds.get(0, rng)
+    assert s["img"].shape == (64, 64, 3)
+    assert s["view1"].shape == (32, 32, 3) and s["view2"].shape == (32, 32, 3)
+    assert s["coord1"].shape == (4,) and s["coord2"].shape == (4,)
+    # overlap rectangles have identical extents in both views
+    assert tuple(s["coord1"][2:]) == tuple(s["coord2"][2:])
+    loader = PrefetchLoader(ds, 2, seed=0, num_threads=2)
+    batch = next(iter(loader.epoch(0)))
+    assert batch["img"].shape == (2, 64, 64, 3)
+
+
+def test_seg_dataset_with_soft_masks(mini_voc, tmp_path):
+    root, names = mini_voc
+    labels = np.load(root / "cls_labels.npy", allow_pickle=True).item()
+    mask_dir = tmp_path / "masks"
+    os.makedirs(mask_dir)
+    rng = np.random.default_rng(0)
+    for n in names:
+        img = Image.open(root / "JPEGImages" / f"{n}.jpg")
+        w, h = img.size
+        soft = rng.uniform(0, 1, (h, w, 21)).astype(np.float16)
+        np.save(mask_dir / f"{n}.npy", soft)
+    ds = VOC12SegDataset(names, str(root), labels, str(mask_dir), crop_size=48)
+    s = ds.get(1, np.random.default_rng(1))
+    assert s["img"].shape == (48, 48, 3)
+    assert s["mask"].shape == (48, 48, 21)
+
+
+def test_affinity_dataset(mini_voc):
+    root, names = mini_voc
+    labels = np.load(root / "cls_labels.npy", allow_pickle=True).item()
+    ds = VOC12AffinityDataset(
+        names, str(root), labels, str(root / "SegmentationClass"), crop_size=64
+    )
+    s = ds.get(0, np.random.default_rng(0))
+    assert s["img"].shape == (64, 64, 3)
+    d = s["bg_pos"].shape[0]
+    assert s["fg_pos"].shape == s["bg_pos"].shape == s["neg"].shape
+    assert ((s["bg_pos"] + s["fg_pos"] + s["neg"]) <= 1.0).all()
+
+
+@pytest.mark.slow
+def test_train_mcl_cli_one_epoch(mini_voc, tmp_path):
+    """One epoch of the MCL training CLI on the mini VOC: loader, train
+    step, checkpointing, rapid eval with threshold sweep, plateau step."""
+    from muscle_tpu.cli import train_mcl
+
+    root, names = mini_voc
+    session = tmp_path / "session"
+    train_mcl.main([
+        "--train_list", str(root / "list.txt"),
+        "--eval_list", str(root / "list.txt"),
+        "--voc12_root", str(root),
+        "--cls_labels", str(root / "cls_labels.npy"),
+        "--session_name", str(session),
+        "--log_dir", str(tmp_path / "logs"),
+        "--backbone", "efficientnet-b1",
+        "--batch_size", "2",
+        "--max_epoches", "1",
+        "--crop_size", "64",
+    ])
+    assert (session / "model_0.msgpack").exists()
+    assert (session / "step_0").exists()
+    log = (tmp_path / "logs" / "metrics.jsonl").read_text()
+    assert "loss_focal" in log
+
+
+@pytest.mark.slow
+def test_infer_mcl_cli_end_to_end(mini_voc, tmp_path, monkeypatch):
+    """The CAM CLI writes reference-format npy dicts from a mini VOC."""
+    import jax
+
+    root, names = mini_voc
+    # tiny random .msgpack checkpoint for the b1 backbone
+    import flax.serialization
+    import jax.numpy as jnp
+
+    from muscle_tpu.models import MuSCLe
+
+    model = MuSCLe(backbone_name="efficientnet-b1", mode="enc", last_pooling=False)
+    variables = model.init(
+        {"params": jax.random.key(0)}, jnp.zeros((1, 32, 32, 3)), mode="cam"
+    )
+    ckpt = tmp_path / "model_0.msgpack"
+    ckpt.write_bytes(flax.serialization.to_bytes(jax.device_get(variables)))
+
+    from muscle_tpu.cli import infer_mcl
+
+    out = tmp_path / "cams"
+    infer_mcl.main([
+        "--weights", str(ckpt),
+        "--infer_list", str(root / "list.txt"),
+        "--voc12_root", str(root),
+        "--cls_labels", str(root / "cls_labels.npy"),
+        "--out_npy", str(out),
+        "--backbone", "efficientnet-b1",
+        "--scales", "0.5,1",
+        "--batch_size", "4",
+    ])
+    for i, n in enumerate(names):
+        d = np.load(str(out) + "_sgc/" + n + ".npy", allow_pickle=True).item()
+        img = Image.open(root / "JPEGImages" / f"{n}.jpg")
+        w, h = img.size
+        assert set(d.keys()) == {[0, 7, 11, 14][i]}
+        m = next(iter(d.values()))
+        assert m.shape == (h, w) and m.dtype == np.float16
