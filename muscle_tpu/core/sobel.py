@@ -79,8 +79,14 @@ def orient_quantize(g: jax.Array) -> tuple[jax.Array, jax.Array]:
         src/edge.py:72-88 (bin 0 = angles in [pi/8, 3pi/8), ... bin 7 =
         [-pi/8, pi/8)).
     """
-    mag = jnp.sqrt(jnp.sum(g * g, axis=-1) + 1e-8)
-    theta = jnp.arctan2(g[..., 1], g[..., 0])
+    return orient_quantize_xy(g[..., 0], g[..., 1])
+
+
+def orient_quantize_xy(gx: jax.Array, gy: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """orient_quantize on separate gx/gy arrays (avoids a 2-lane minor axis
+    on large tensors — see losses/beacon.py memory note)."""
+    mag = jnp.sqrt(gx * gx + gy * gy + 1e-8)
+    theta = jnp.arctan2(gy, gx)
     div = 3.1416 / 8
     # Shift so each pi/4 sector maps to one bin; the reference enumerates the
     # same partition with eight boolean masks.

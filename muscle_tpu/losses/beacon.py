@@ -33,14 +33,13 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from muscle_tpu.core.sobel import orient_quantize, sobel_edges
+from muscle_tpu.core.sobel import orient_quantize_xy
 
 # bin -> (dy, dx) unit walk along the gradient direction, for the 8 sectors
-# produced by orient_quantize (y axis points down).
-_DIRS = jnp.array(
-    [[1, 1], [1, 0], [1, -1], [0, -1], [-1, -1], [-1, 0], [-1, 1], [0, 1]],
-    dtype=jnp.int32,
-)
+# produced by orient_quantize (y axis points down).  Stored as separate dy
+# and dx tables so a lookup never creates a 2-lane minor axis.
+_DIR_DY = jnp.array([1, 1, 1, 0, -1, -1, -1, 0], dtype=jnp.int32)
+_DIR_DX = jnp.array([1, 0, -1, -1, -1, 0, 1, 1], dtype=jnp.int32)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -53,15 +52,33 @@ class FieldLossConfig:
 
 
 def _class_edges(seg_map: jax.Array, label_with_bg: jax.Array, cfg: FieldLossConfig):
-    """Per-foreground-class Sobel gradient field of the sharpened softmax
-    (reference Mix_fg, edge.py:405-440).  Returns (N, H, W, C-1, 2)."""
+    """Per-foreground-class Sobel gradients of the sharpened softmax
+    (reference Mix_fg, edge.py:405-440).  Returns (gx, gy), each
+    (N, H, W, C-1).
+
+    Memory note: materialising a (..., 2) gradient-pair axis pads the
+    2-lane minor dimension to 128 on TPU (64x expansion — 11 GB at the b7
+    seg config).  One grouped conv with channel-multiplier 2 keeps the
+    minor dimension at 2*(C-1) channels instead.
+    """
+    from muscle_tpu.core.sobel import sobel_kernel
+
     n, h, w, c = seg_map.shape
-    probs = jax.nn.softmax(seg_map * cfg.beta, axis=-1)[..., 1:]  # drop bg
-    # One depthwise Sobel pass over all classes at once.
-    flat = probs.transpose(0, 3, 1, 2).reshape(n * (c - 1), h, w, 1)
-    g = sobel_edges(flat, cfg.sobel_size, orient=True)  # (N*(C-1), H, W, 2)
-    g = g.reshape(n, c - 1, h, w, 2).transpose(0, 2, 3, 1, 4)
-    return g * label_with_bg[:, None, None, 1:, None]
+    nfg = c - 1
+    probs = jax.nn.softmax(seg_map * cfg.beta, axis=-1)[..., 1:]  # (N,H,W,C-1)
+    k2 = jnp.asarray(sobel_kernel(cfg.sobel_size), probs.dtype)  # (kh,kw,2)
+    kern = jnp.tile(k2[:, :, None, :], (1, 1, 1, nfg))  # (kh,kw,1,(C-1)*2)
+    pad = cfg.sobel_size // 2
+    g = jax.lax.conv_general_dilated(
+        probs,
+        kern,
+        window_strides=(1, 1),
+        padding=((pad, pad), (pad, pad)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=nfg,
+    )  # (N, H, W, (C-1)*2), channel = class*2 + {gx, gy}
+    lab = label_with_bg[:, None, None, 1:]
+    return g[..., 0::2] * lab, g[..., 1::2] * lab
 
 
 def _sample_topk(scores: jax.Array, k: int):
@@ -124,8 +141,10 @@ def field_loss(
     nfg = c - 1
     k = cfg.k
 
-    edges = jax.lax.stop_gradient(_class_edges(seg_map, label_with_bg, cfg))
-    mag, orient = orient_quantize(edges)  # (N, H, W, C-1)
+    gx, gy = _class_edges(seg_map, label_with_bg, cfg)
+    gx = jax.lax.stop_gradient(gx)
+    gy = jax.lax.stop_gradient(gy)
+    mag, orient = orient_quantize_xy(gx, gy)  # (N, H, W, C-1)
     max_fg = jnp.max(mag, axis=(1, 2), keepdims=True)
     pos = (mag >= 0.8 * max_fg) & (max_fg > 1.0)
     pos = pos & (label_with_bg[:, None, None, 1:] > 0)
@@ -139,11 +158,12 @@ def field_loss(
 
     def per_class(pos_bc, orient_bc, dense_b, mask_b, key):
         """pos_bc/orient_bc: (H, W); dense_b: (HW, F); mask_b: (HW, C)."""
-        d = _DIRS[orient_bc]  # (H, W, 2)
-        out_r = rows + cfg.step * d[..., 0]
-        out_c = cols + cfg.step * d[..., 1]
-        in_r = rows - cfg.step * d[..., 0]
-        in_c = cols - cfg.step * d[..., 1]
+        dy = _DIR_DY[orient_bc]  # (H, W)
+        dx = _DIR_DX[orient_bc]
+        out_r = rows + cfg.step * dy
+        out_c = cols + cfg.step * dx
+        in_r = rows - cfg.step * dy
+        in_c = cols - cfg.step * dx
         inb = lambda r, c_: (r >= 0) & (r < h) & (c_ >= 0) & (c_ < w)  # noqa: E731
         valid = pos_bc & inb(out_r, out_c) & inb(in_r, in_c)
         count = jnp.sum(valid)
