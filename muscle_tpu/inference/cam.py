@@ -82,77 +82,72 @@ class CamTTAEngine:
         self._scale_fn = {}
         self._device_scale_fn = {}
 
+    def _core(self, canvas: int):
+        """Shared per-scale compute: scaled normalised (orig, flip) pairs ->
+        model -> resize-back/un-flip -> accumulate."""
+        model = self.model
+        out_side = self.out_side
+        cdt = self.compute_dtype
+        lowres = self.lowres
+
+        def compute(variables, images, sizes, orig_sizes, cam_sum, sgc_sum, logits_sum):
+            mode = "cam_lowres" if lowres else "cam"
+            cams, sgcs, _, logits = model.apply(variables, images.astype(cdt), mode=mode)
+            cams = cams.astype(jnp.float32)
+            sgcs = sgcs.astype(jnp.float32)
+            logits = logits.astype(jnp.float32)
+            feat_stride = canvas // cams.shape[1]  # 1 (full-res) or 16
+
+            def per_image(cam2, sgc2, size, orig):
+                if lowres:
+                    size = (size + feat_stride - 1) // feat_stride
+                box = jnp.concatenate([jnp.zeros(2, jnp.int32), size])
+
+                def resize(m, flip):
+                    return dynamic_window_resize(
+                        m, box, (out_side, out_side), dst_hw=orig,
+                        align_corners=lowres, flip_x=flip,
+                    )
+
+                rows = jnp.arange(out_side)[:, None]
+                cols = jnp.arange(out_side)[None, :]
+                valid = ((rows < orig[0]) & (cols < orig[1]))[..., None]
+                cam = (resize(cam2[0], False) + resize(cam2[1], True)) * valid
+                sgc = (resize(sgc2[0], False) + resize(sgc2[1], True)) * valid
+                return cam, sgc
+
+            b = sizes.shape[0]
+            cam_pairs = cams.reshape(b, 2, *cams.shape[1:])
+            sgc_pairs = sgcs.reshape(b, 2, *sgcs.shape[1:])
+            cam_acc, sgc_acc = jax.vmap(per_image)(cam_pairs, sgc_pairs, sizes, orig_sizes)
+            return (
+                cam_sum + cam_acc,
+                sgc_sum + sgc_acc,
+                logits_sum + logits.reshape(b, 2, -1).sum(axis=1),
+            )
+
+        return compute
+
     def _fn_for(self, scale: float, batch: int):
+        """Host-prep path: PIL-scaled f32 canvases in, one jit per scale.
+
+        NOTE: variables are an ARGUMENT, not a closure capture — a captured
+        jax.Array becomes an XLA constant (weights baked into the program:
+        monster compiles, cache misses per checkpoint)."""
         key = (scale, batch)
         if key not in self._scale_fn:
-            model = self.model
-            out_side = self.out_side
-            cdt = self.compute_dtype
-            lowres = self.lowres
-
-            # NOTE: variables are an ARGUMENT, not a closure capture — a
-            # captured jax.Array becomes an XLA constant (weights baked into
-            # the program: monster compiles, cache misses per checkpoint).
-            @functools.partial(jax.jit, donate_argnums=(4, 5, 6))
-            def run(variables, images, sizes, orig_sizes, cam_sum, sgc_sum, logits_sum):
-                """One TTA scale, fully on device.
-
-                images (2B,S,S,3); sizes (B,2) scaled hw; orig (B,2) HW;
-                accumulators (B,out,out,C)/(B,C) donated and returned.
-                """
-                mode = "cam_lowres" if lowres else "cam"
-                cams, sgcs, _, logits = model.apply(
-                    variables, images.astype(cdt), mode=mode
-                )
-                cams = cams.astype(jnp.float32)
-                sgcs = sgcs.astype(jnp.float32)
-                logits = logits.astype(jnp.float32)
-                feat_stride = images.shape[1] // cams.shape[1]  # 1 or 16
-
-                def per_image(cam2, sgc2, size, orig):
-                    if lowres:
-                        size = (size + feat_stride - 1) // feat_stride
-                    box = jnp.concatenate([jnp.zeros(2, jnp.int32), size])
-
-                    def resize(m, flip):
-                        return dynamic_window_resize(
-                            m, box, (out_side, out_side), dst_hw=orig,
-                            align_corners=lowres, flip_x=flip,
-                        )
-
-                    rows = jnp.arange(out_side)[:, None]
-                    cols = jnp.arange(out_side)[None, :]
-                    valid = ((rows < orig[0]) & (cols < orig[1]))[..., None]
-                    cam = (resize(cam2[0], False) + resize(cam2[1], True)) * valid
-                    sgc = (resize(sgc2[0], False) + resize(sgc2[1], True)) * valid
-                    return cam, sgc
-
-                b = sizes.shape[0]
-                cam_pairs = cams.reshape(b, 2, *cams.shape[1:])
-                sgc_pairs = sgcs.reshape(b, 2, *sgcs.shape[1:])
-                cam_acc, sgc_acc = jax.vmap(per_image)(
-                    cam_pairs, sgc_pairs, sizes, orig_sizes
-                )
-                return (
-                    cam_sum + cam_acc,
-                    sgc_sum + sgc_acc,
-                    logits_sum + logits.reshape(b, 2, -1).sum(axis=1),
-                )
-
-            self._scale_fn[key] = run
+            compute = self._core(bucket_side(scale, self.max_side))
+            self._scale_fn[key] = jax.jit(compute, donate_argnums=(4, 5, 6))
         return self._scale_fn[key]
 
     def _device_fn_for(self, scale: float, batch: int):
         """device_tta per-scale program: uint8 originals -> scaled
-        normalised (orig, flip) pair on device -> model -> accumulate."""
+        normalised (orig, flip) pair on device -> shared core."""
         key = (scale, batch)
         if key not in self._device_scale_fn:
-            model = self.model
-            out_side = self.out_side
-            cdt = self.compute_dtype
-            lowres = self.lowres
             canvas = bucket_side(scale, self.max_side)
             in_side = self.out_side  # original-size canvas
+            compute = self._core(canvas)
             mean = jnp.asarray(IMAGENET_MEAN[0, 0], jnp.float32)
             std = jnp.asarray(IMAGENET_STD[0, 0], jnp.float32)
 
@@ -171,47 +166,9 @@ class CamTTAEngine:
                     return jnp.einsum("Jx,Ixc->IJc", ww, a), jnp.einsum("Jx,Ixc->IJc", wwf, a)
 
                 orig_v, flip_v = jax.vmap(make_pair)(images_u8, orig_sizes, scaled)
-                images = jnp.stack([orig_v, flip_v], axis=1).reshape(
-                    -1, canvas, canvas, 3
-                )
-
-                mode = "cam_lowres" if lowres else "cam"
-                cams, sgcs, _, logits = model.apply(
-                    variables, images.astype(cdt), mode=mode
-                )
-                cams = cams.astype(jnp.float32)
-                sgcs = sgcs.astype(jnp.float32)
-                logits = logits.astype(jnp.float32)
-                feat_stride = canvas // cams.shape[1]
-
-                def per_image(cam2, sgc2, size, orig):
-                    if lowres:
-                        size = (size + feat_stride - 1) // feat_stride
-                    box = jnp.concatenate([jnp.zeros(2, jnp.int32), size])
-
-                    def resize(m, flip):
-                        return dynamic_window_resize(
-                            m, box, (out_side, out_side), dst_hw=orig,
-                            align_corners=lowres, flip_x=flip,
-                        )
-
-                    rows = jnp.arange(out_side)[:, None]
-                    cols = jnp.arange(out_side)[None, :]
-                    valid = ((rows < orig[0]) & (cols < orig[1]))[..., None]
-                    cam = (resize(cam2[0], False) + resize(cam2[1], True)) * valid
-                    sgc = (resize(sgc2[0], False) + resize(sgc2[1], True)) * valid
-                    return cam, sgc
-
-                b = orig_sizes.shape[0]
-                cam_pairs = cams.reshape(b, 2, *cams.shape[1:])
-                sgc_pairs = sgcs.reshape(b, 2, *sgcs.shape[1:])
-                cam_acc, sgc_acc = jax.vmap(per_image)(
-                    cam_pairs, sgc_pairs, scaled, orig_sizes
-                )
-                return (
-                    cam_sum + cam_acc,
-                    sgc_sum + sgc_acc,
-                    logits_sum + logits.reshape(b, 2, -1).sum(axis=1),
+                images = jnp.stack([orig_v, flip_v], axis=1).reshape(-1, canvas, canvas, 3)
+                return compute(
+                    variables, images, scaled, orig_sizes, cam_sum, sgc_sum, logits_sum
                 )
 
             self._device_scale_fn[key] = run
