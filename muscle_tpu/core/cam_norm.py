@@ -63,6 +63,20 @@ def cam_softmaxnorm(cams: jax.Array, relu_first: bool = False) -> jax.Array:
     return jnp.concatenate([bg, fg], axis=-1)
 
 
+def gap2d(x: jax.Array, keepdims: bool = False) -> jax.Array:
+    """Global average pool over the spatial axes of NHWC (reference
+    src/torchutils.py:293-298)."""
+    return jnp.mean(x, axis=(1, 2), keepdims=keepdims)
+
+
+def gap2d_pos(x: jax.Array, keepdims: bool = False) -> jax.Array:
+    """Sum over space divided by the global positive count (reference
+    src/torchutils.py:300-304, quirk included: the denominator counts
+    positives over the whole batch tensor, not per channel)."""
+    out = jnp.sum(x, axis=(1, 2), keepdims=keepdims)
+    return out / (jnp.sum(x > 0) + 1e-12)
+
+
 def attach_bg_channel(label: jax.Array, value: float = 1.0) -> jax.Array:
     """Prepend a constant background score to a multi-hot label.
 
