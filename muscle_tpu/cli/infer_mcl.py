@@ -26,6 +26,9 @@ def main(argv=None) -> None:
     p.add_argument("--scales", default="0.5,1,1.5,2", type=str)
     p.add_argument("--backbone", default="efficientnet-b3", type=str,
                    help="reference uses b3; smaller variants for smoke runs")
+    p.add_argument("--exact", default=0, type=int,
+                   help="shape-grouped unpadded TTA (bit-parity mode; one "
+                        "compile per image shape — use for fidelity gates)")
     add_voc_args(p)
     args = p.parse_args(argv)
 
@@ -54,7 +57,8 @@ def main(argv=None) -> None:
         chunk = names[i : i + bs]
         imgs = [Image.open(get_img_path(n, args.voc12_root)).convert("RGB") for n in chunk]
         labs = [labels[n] for n in chunk]
-        for rec in engine.run_batch(imgs, chunk, labs):
+        runner = engine.run_batch_exact if args.exact else engine.run_batch
+        for rec in runner(imgs, chunk, labs):
             if args.out_npy:
                 np.save(os.path.join(args.out_npy + "_sgc", rec["name"] + ".npy"), rec["sgc"])
                 if args.save_cam:

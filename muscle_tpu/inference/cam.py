@@ -276,6 +276,92 @@ class CamTTAEngine:
             )
         return out
 
+    def run_batch_exact(self, pil_images, names, labels) -> list[dict]:
+        """Bit-parity TTA mode: images grouped by identical pixel shape and
+        run at their EXACT sizes (no canvas padding), reproducing the
+        reference's per-image forwards (infer_mcl.py:107-146) while still
+        batching the dominant VOC shapes.  One compile per (shape, scale)
+        — use for fidelity gates; the padded canvas paths are the fast
+        production modes.
+        """
+        from muscle_tpu.data.tta import group_by_shape, scaled_size
+        from muscle_tpu.data import transforms as T
+
+        groups = group_by_shape(pil_images, names)
+        results: dict[int, dict] = {}
+        for (w, h), idxs in groups.items():
+            g = len(idxs)
+            cam_sum = jnp.zeros((g, h, w, self.num_classes), jnp.float32)
+            sgc_sum = jnp.zeros_like(cam_sum)
+            logits_sum = jnp.zeros((g, self.num_classes), jnp.float32)
+            for s in self.scales:
+                tw, th = scaled_size(w, h, s)
+                batch = np.empty((2 * g, th, tw, 3), np.float32)
+                for j, i in enumerate(idxs):
+                    arr = T.color_norm(
+                        np.asarray(pil_images[i].resize((tw, th), resample=T.BICUBIC))
+                    )
+                    batch[2 * j] = arr
+                    batch[2 * j + 1] = arr[:, ::-1]
+                fn = self._exact_fn_for((th, tw), (h, w), g)
+                cam_sum, sgc_sum, logits_sum = fn(
+                    self.variables, jnp.asarray(batch), cam_sum, sgc_sum, logits_sum
+                )
+            # reference fusion (infer_mcl.py:151-164) on exact-size maps
+            cam, sgc, score = self._fuse_exact(cam_sum, sgc_sum, logits_sum,
+                                               jnp.float32(2 * len(self.scales)))
+            cam, sgc, score = np.asarray(cam), np.asarray(sgc), np.asarray(score)
+            for j, i in enumerate(idxs):
+                keep = np.nonzero(np.asarray(labels[i]) > 1e-5)[0]
+                results[i] = {
+                    "name": names[i],
+                    "cam": {int(k): cam[j, :, :, k] for k in keep},
+                    "sgc": {int(k): sgc[j, :, :, k] for k in keep},
+                    "score": score[j],
+                }
+        return [results[i] for i in range(len(pil_images))]
+
+    def _exact_fn_for(self, in_hw, out_hw, batch):
+        key = ("exact", in_hw, out_hw, batch)
+        if key not in self._scale_fn:
+            from muscle_tpu.core.resize import resize_bilinear
+
+            model = self.model
+            cdt = self.compute_dtype
+
+            @functools.partial(jax.jit, donate_argnums=(2, 3, 4))
+            def run(variables, images, cam_sum, sgc_sum, logits_sum):
+                cams, sgcs, _, logits = model.apply(variables, images.astype(cdt), mode="cam")
+                cams = resize_bilinear(cams.astype(jnp.float32), out_hw, align_corners=False)
+                sgcs = resize_bilinear(sgcs.astype(jnp.float32), out_hw, align_corners=False)
+                g = cam_sum.shape[0]
+                cams = cams.reshape(g, 2, *cams.shape[1:])
+                sgcs = sgcs.reshape(g, 2, *sgcs.shape[1:])
+                # un-flip the odd versions
+                cam_acc = cams[:, 0] + cams[:, 1, :, ::-1]
+                sgc_acc = sgcs[:, 0] + sgcs[:, 1, :, ::-1]
+                logits = logits.astype(jnp.float32).reshape(g, 2, -1).sum(axis=1)
+                return cam_sum + cam_acc, sgc_sum + sgc_acc, logits_sum + logits
+
+            self._scale_fn[key] = run
+        return self._scale_fn[key]
+
+    @functools.cached_property
+    def _fuse_exact(self):
+        @jax.jit
+        def fuse(cam_sum, sgc_sum, logits_sum, n_versions):
+            def norm(m):
+                fg = jnp.where(m < 0, 0.0, m)[..., 1:]
+                mx = jnp.max(fg, axis=(1, 2), keepdims=True)
+                mn = jnp.min(fg, axis=(1, 2), keepdims=True)
+                fg = jnp.where(fg < mn + 1e-6, 0.0, fg)
+                return (fg - mn - 1e-6) / (mx - mn + 1e-6)
+
+            score = jax.nn.sigmoid(logits_sum[:, 1:] / n_versions)
+            return norm(cam_sum), norm(sgc_sum), score
+
+        return fuse
+
     def run_batch_async(self, pil_images, names, labels):
         """Dispatch a device_tta batch without blocking; returns a
         ``finalize() -> list[dict]`` closure.  Call the next batch's

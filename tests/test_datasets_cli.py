@@ -122,6 +122,23 @@ def test_train_mcl_cli_one_epoch(mini_voc, tmp_path):
     log = (tmp_path / "logs" / "metrics.jsonl").read_text()
     assert "loss_focal" in log
 
+    # artifact chain: the trained checkpoint drives the CAM inference CLI
+    from muscle_tpu.cli import infer_mcl
+
+    out = tmp_path / "cams_from_ckpt"
+    infer_mcl.main([
+        "--weights", str(session / "model_0.msgpack"),
+        "--infer_list", str(root / "list.txt"),
+        "--voc12_root", str(root),
+        "--cls_labels", str(root / "cls_labels.npy"),
+        "--out_npy", str(out),
+        "--backbone", "efficientnet-b1",
+        "--scales", "1",
+        "--batch_size", "4",
+    ])
+    d = np.load(str(out) + "_sgc/" + names[0] + ".npy", allow_pickle=True).item()
+    assert next(iter(d.values())).dtype == np.float16
+
 
 @pytest.mark.slow
 def test_infer_mcl_cli_end_to_end(mini_voc, tmp_path, monkeypatch):

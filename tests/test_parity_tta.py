@@ -90,3 +90,11 @@ def test_cam_tta_fusion_parity(rng):
     for k, want in want_sgc.items():
         have = got["sgc"][int(k)].astype(np.float32)
         np.testing.assert_allclose(have, want, atol=2e-3, err_msg=f"class {k}")
+
+    # the exact shape-grouped mode reproduces the reference chain even
+    # more tightly (no canvas padding, f32 maps)
+    exact = engine.run_batch_exact([img], ["x"], [label])[0]
+    np.testing.assert_allclose(exact["score"], want_score, atol=1e-4)
+    for k, want in want_sgc.items():
+        have = exact["sgc"][int(k)].astype(np.float32)
+        np.testing.assert_allclose(have, want, atol=5e-4, err_msg=f"exact class {k}")
