@@ -186,3 +186,11 @@ def test_random_walk_refiner(tmp_path):
     assert np.abs(others).max() == 0
     labels = refiner.to_png_labels(scores)
     assert set(np.unique(labels)) <= {0, 4}
+
+    # batched refinement matches per-image refinement
+    img2 = _imgs([(44, 50)], seed=4)[0]
+    cam2 = {5: np.random.default_rng(1).uniform(0, 1, (44, 50)).astype(np.float16)}
+    batched = refiner.refine_batch([img, img2], [cam_dict, cam2])
+    np.testing.assert_allclose(batched[0], scores, atol=5e-5)
+    single2 = refiner.refine_image(img2, cam2)
+    np.testing.assert_allclose(batched[1], single2, atol=5e-5)
