@@ -142,7 +142,7 @@ def _rapid_eval(args, model, state) -> float:
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     engine = CamTTAEngine(model, variables, scales=(1.0,), num_classes=args.num_classes)
 
-    outdir = "./training_eval"
+    outdir = os.path.join(args.session_name, "training_eval")
     os.makedirs(outdir, exist_ok=True)
     bs = 8
     for i in range(0, len(names), bs):

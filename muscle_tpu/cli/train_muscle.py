@@ -108,7 +108,9 @@ def main(argv=None) -> None:
 
 
 def _val_eval(args, model, state) -> float:
-    """Single-scale val mIoU (reference train_muscle.py:224-283)."""
+    """Single-scale val mIoU (reference train_muscle.py:224-283); with
+    --crf, refines each prediction by one mean-field step before argmax
+    (reference train_muscle.py:267-268, ``crf_inference(..., t=1)``)."""
     import os
 
     from PIL import Image
@@ -126,13 +128,20 @@ def _val_eval(args, model, state) -> float:
     for i in range(0, len(names), bs):
         chunk = names[i : i + bs]
         imgs = [Image.open(get_img_path(n, args.voc12_root)).convert("RGB") for n in chunk]
-        for rec in engine.run_batch(imgs, chunk):
+        for img, rec in zip(imgs, engine.run_batch(imgs, chunk)):
             gt = np.array(
                 Image.open(
                     os.path.join(args.voc12_root, "SegmentationClass", rec["name"] + ".png")
                 )
             )
-            pred = np.argmax(rec["probs"], axis=-1)
+            probs = rec["probs"]
+            if args.crf:
+                from muscle_tpu.ops.crf import mean_field_crf
+
+                probs = np.asarray(
+                    mean_field_crf(probs, np.asarray(img, np.float32), t=1)
+                )
+            pred = np.argmax(probs, axis=-1)
             conf += confusion_matrix(pred, gt, args.num_classes)
     return iou_from_confusion(conf)["mIoU"]
 
