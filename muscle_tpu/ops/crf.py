@@ -114,7 +114,13 @@ def _bilateral_filter(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("t", "scale_factor", "color_bins", "confidence")
+    jax.jit,
+    static_argnames=(
+        "t", "scale_factor", "color_bins", "confidence",
+        # sigmas/compats build host-side kernels and grid shapes — static
+        "sxy_gaussian", "compat_gaussian", "sxy_bilateral", "srgb",
+        "compat_bilateral",
+    ),
 )
 def mean_field_crf(
     probs: jax.Array,

@@ -57,11 +57,13 @@ class Permutohedral {
         canonical[i * (d + 1) + j] = (short)(i - (d + 1));
     }
 
-    // scale factors so the Gaussian has unit variance along the lattice
+    // scale factors so the Gaussian has unit variance along the lattice:
+    // diagonal of the elevation matrix E is sqrt(2/3)*(d+1)/sqrt((i+1)(i+2))
+    // (Adams et al. 2010, p.5).
     std::vector<float> scale(d);
-    float inv_std = 1.0f / std::sqrt((2.0f / 3.0f) * (d + 1));
+    float elev_gain = std::sqrt(2.0f / 3.0f) * (float)(d + 1);
     for (int i = 0; i < d; i++)
-      scale[i] = inv_std / std::sqrt((float)(i + 1) * (i + 2));
+      scale[i] = elev_gain / std::sqrt((float)(i + 1) * (i + 2));
 
     std::unordered_map<VectorKey, int, VectorKeyHash> hash;
     hash.reserve((size_t)n * 2);

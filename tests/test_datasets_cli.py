@@ -97,6 +97,44 @@ def test_affinity_dataset(mini_voc):
     assert ((s["bg_pos"] + s["fg_pos"] + s["neg"]) <= 1.0).all()
 
 
+def test_cam_to_label_cli(mini_voc, tmp_path):
+    """SGC dicts -> hard pseudo-label PNGs with a void band, consumable by
+    the affinity dataset (the train_irn input producer)."""
+    from muscle_tpu.cli import cam_to_label
+
+    root, names = mini_voc
+    cam_dir = tmp_path / "cam_sgc"
+    os.makedirs(cam_dir)
+    cls_of = [0, 7, 11, 14]
+    for i, n in enumerate(names):
+        img = Image.open(root / "JPEGImages" / f"{n}.jpg")
+        w, h = img.size
+        m = np.zeros((h, w), np.float16)
+        m[10:30, 10:30] = 0.9  # confident blob matching the seg fixture
+        np.save(cam_dir / f"{n}.npy", {cls_of[i]: m})
+
+    out_dir = tmp_path / "cam_png"
+    cam_to_label.main([
+        "--cam_dir", str(cam_dir),
+        "--out_dir", str(out_dir),
+        "--infer_list", str(root / "list.txt"),
+        "--voc12_root", str(root),
+        "--cls_labels", str(root / "cls_labels.npy"),
+    ])
+    for i, n in enumerate(names):
+        lab = np.array(Image.open(out_dir / f"{n}.png"))
+        img = Image.open(root / "JPEGImages" / f"{n}.jpg")
+        assert lab.shape == (img.size[1], img.size[0])
+        assert set(np.unique(lab)) <= {0, cls_of[i] + 1, 255}
+        # the confident blob survives as foreground somewhere
+        assert (lab == cls_of[i] + 1).sum() > 0
+
+    labels = np.load(root / "cls_labels.npy", allow_pickle=True).item()
+    ds = VOC12AffinityDataset(names, str(root), labels, str(out_dir), crop_size=64)
+    s = ds.get(0, np.random.default_rng(0))
+    assert s["img"].shape == (64, 64, 3)
+
+
 @pytest.mark.slow
 def test_train_mcl_cli_one_epoch(mini_voc, tmp_path):
     """One epoch of the MCL training CLI on the mini VOC: loader, train
