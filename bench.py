@@ -50,9 +50,15 @@ def main() -> None:
     )
     variables = init(jax.random.key(0))
 
+    # production fast mode: K-class gather before the resize, stride-4
+    # accumulation grid + host upsample, uint8 quantised download, tight
+    # transposed upload canvas (see CamTTAEngine docstring; deviations
+    # bounded in tests/test_inference.py) — the host<->device link, not
+    # the TPU, is the binding resource for this workload
     engine = CamTTAEngine(
         model, variables, compute_dtype=jnp.bfloat16, lowres=True,
         device_tta=True, max_classes=4, return_cam=False,
+        accum_stride=4, download_dtype="uint8", tight_upload=True,
     )
 
     # synthetic VOC-shaped inputs (typical 500x375 / 375x500 mix)
@@ -72,7 +78,8 @@ def main() -> None:
     for i in range(WARMUP_BATCHES):
         engine.run_batch(*make_batch(i))
 
-    # 2-deep async pipeline: downloads overlap the next batch's compute
+    # 3-deep async pipeline: batch n's download and host upsample overlap
+    # batches n+1/n+2's upload + compute
     import collections
 
     rates = []
@@ -82,7 +89,7 @@ def main() -> None:
         pending = collections.deque()
         for i in range(N_BATCHES):
             pending.append(engine.run_batch_async(*make_batch(100 + wnd * 50 + i)))
-            if len(pending) > 1:
+            if len(pending) > 2:
                 n_imgs += len(pending.popleft()())
         while pending:
             n_imgs += len(pending.popleft()())

@@ -38,6 +38,9 @@ def main(argv=None) -> None:
     p.add_argument("--bf16", default=0, type=int,
                    help="bf16 model compute (f32 params/optimizer) — the "
                         "TPU mixed-precision fast path; ~2x step time")
+    p.add_argument("--vis_every", default=25, type=int,
+                   help="dump CAM/SGC overlay PNGs under <log_dir>/vis every N "
+                        "iters (reference tblogger stream); 0 disables")
     p.add_argument("--profile_dir", default=None, type=str,
                    help="capture a jax.profiler trace of steps 10-13 of "
                         "epoch 0 (the reference installs torch-tb-profiler "
@@ -58,7 +61,7 @@ def main(argv=None) -> None:
         mcl_views_step,
     )
     from muscle_tpu.training.state import make_adam, save_checkpoint, set_learning_rate
-    from muscle_tpu.utils import MetricLogger, Timer
+    from muscle_tpu.utils import MetricLogger, Timer, TrainVisualizer
 
     names, labels = load_lists(args, args.train_list)
     dataset = VOC12ClsPixDataset(names, args.voc12_root, labels, crop_size=args.crop_size)
@@ -94,6 +97,10 @@ def main(argv=None) -> None:
     sched = ReduceLROnPlateau(args.lr, factor=0.5, patience=0, min_lr=1e-5)
     os.makedirs(args.session_name, exist_ok=True)
     mlog = MetricLogger(os.path.join(args.log_dir, "metrics.jsonl"))
+    # CAM/SGC overlay stream (reference train_mcl.py:255-277 tblogger)
+    vis = TrainVisualizer(
+        model, os.path.join(args.log_dir, "vis"), mode="cam", every=args.vis_every
+    )
     timer = Timer()
     rng = jax.random.key(args.seed)
 
@@ -117,6 +124,7 @@ def main(argv=None) -> None:
                     print(f"ep {ep} it {it} " + " ".join(f"{k}:{v:.4f}" for k, v in vals.items())
                           + f" imps:{ips:.1f} lr:{sched.lr:.7f}")
                     mlog.log(int(state.step), **vals, imps=ips, lr=sched.lr)
+                vis.maybe_dump(int(state.step), state, batch)
 
             save_checkpoint(args.session_name, state, ep)
             miou = _rapid_eval(args, model, state)

@@ -35,6 +35,9 @@ def main(argv=None) -> None:
     p.add_argument("--log_dir", default="logs/muscle", type=str)
     p.add_argument("--resume_epoch", default=None, type=int)
     p.add_argument("--bf16", default=0, type=int)
+    p.add_argument("--vis_every", default=25, type=int,
+                   help="dump seg-mask PNGs under <log_dir>/vis every N iters; "
+                        "0 disables")
     add_voc_args(p)
     args = p.parse_args(argv)
 
@@ -84,6 +87,12 @@ def main(argv=None) -> None:
     cfg = SegConfig(lamb=args.lamb, step=args.step, k=args.k)
     os.makedirs(args.session_name, exist_ok=True)
     mlog = MetricLogger(os.path.join(args.log_dir, "metrics.jsonl"))
+    # seg-mask overlay stream (reference train_muscle.py:206-219 tblogger)
+    from muscle_tpu.utils import TrainVisualizer
+
+    vis = TrainVisualizer(
+        model, os.path.join(args.log_dir, "vis"), mode="seg", every=args.vis_every
+    )
     timer = Timer()
     rng = jax.random.key(args.seed)
 
@@ -98,6 +107,7 @@ def main(argv=None) -> None:
                     print(f"ep {ep} it {it} " + " ".join(f"{k}:{v:.4f}" for k, v in vals.items())
                           + f" imps:{ips:.1f}")
                     mlog.log(int(state.step), **vals, imps=ips, lr=sched.lr)
+                vis.maybe_dump(int(state.step), state, batch)
 
             save_checkpoint(args.session_name, state, ep)
             miou = _val_eval(args, model, state)

@@ -49,6 +49,27 @@ class CamTTAEngine:
         host link, not the TPU, bounds TTA throughput otherwise.
       max_classes: per-image class budget for the selective download
         (device_tta path; VOC images rarely exceed 4 labels).
+      accum_stride: device_tta only.  1 = accumulate fused maps at full
+        original resolution (parity mode).  N>1 = accumulate on an
+        out_side/N grid (each scale's map resized once to ~orig/N) and
+        bilinearly upsample to original size ON HOST after the download —
+        the maps are stride-16 model outputs, so an N=4 grid still
+        oversamples the largest (scale-2) map ~2x per axis while cutting
+        the download N^2-fold and the resize/fusion FLOPs likewise.
+        Documented deviation (DEVIATIONS.md): the resample chain becomes
+        map -> orig/N -> orig instead of map -> orig; bounded by the
+        oracle delta tests in tests/test_inference.py.
+      download_dtype: 'float16' (parity) or 'uint8' (device_tta only) —
+        the fused maps are min-max normalised into [0, 1], so a x255
+        quantisation costs <=0.2% absolute while halving (vs f16) the
+        dominant device->host transfer.
+      tight_upload: device_tta only.  Upload a (B, short, out_side) canvas
+        instead of the square one, storing portrait images TRANSPOSED
+        (VOC images have long side <= 500 but short side typically ~375);
+        the device un-transposes into the square working canvas.  The
+        canvas height is bucketed per batch (multiples of 64), cutting the
+        dominant host->device transfer ~25% on VOC-shaped data.  Bitwise
+        identical outputs (the transpose is exact).
     """
 
     def __init__(
@@ -64,6 +85,9 @@ class CamTTAEngine:
         device_tta: bool = True,
         max_classes: int = 8,
         return_cam: bool = True,
+        accum_stride: int = 1,
+        download_dtype: str = "float16",
+        tight_upload: bool = False,
     ):
         self.model = model
         self.variables = variables
@@ -79,8 +103,17 @@ class CamTTAEngine:
         # raw-CAM saving is commented out); skipping the CAM download halves
         # device->host traffic on the fast path
         self.return_cam = return_cam
+        if out_side % accum_stride:
+            raise ValueError("accum_stride must divide out_side")
+        if download_dtype not in ("float16", "uint8"):
+            raise ValueError(f"unsupported download_dtype {download_dtype!r}")
+        self.accum_stride = accum_stride
+        self.acc_side = out_side // accum_stride
+        self.download_dtype = download_dtype
+        self.tight_upload = tight_upload
         self._scale_fn = {}
         self._device_scale_fn = {}
+        self._unpack_fn = {}
 
     def _core(self, canvas: int):
         """Shared per-scale compute: scaled normalised (orig, flip) pairs ->
@@ -140,19 +173,103 @@ class CamTTAEngine:
             self._scale_fn[key] = jax.jit(compute, donate_argnums=(4, 5, 6))
         return self._scale_fn[key]
 
+    def _device_core(self, canvas: int):
+        """device_tta per-scale compute: model -> per-image gather of the
+        labelled classes (21 -> K channels BEFORE the expensive resize) ->
+        resize/un-flip onto the accumulation grid -> accumulate.
+
+        accs: dict with 'sgc' (B, acc, acc, K), 'logits' (B, C) and,
+        when return_cam, 'cam' (B, acc, acc, K)."""
+        model = self.model
+        cdt = self.compute_dtype
+        lowres = self.lowres
+        stride = self.accum_stride
+        acc_side = self.acc_side
+        return_cam = self.return_cam
+
+        def compute(variables, images, sizes, orig_sizes, class_idx, accs):
+            mode = "cam_lowres" if lowres else "cam"
+            cams, sgcs, _, logits = model.apply(variables, images.astype(cdt), mode=mode)
+            cams = cams.astype(jnp.float32)
+            sgcs = sgcs.astype(jnp.float32)
+            logits = logits.astype(jnp.float32)
+            feat_stride = canvas // cams.shape[1]  # 1 (full-res) or 16
+            b = sizes.shape[0]
+            cam_pairs = cams.reshape(b, 2, *cams.shape[1:])
+            sgc_pairs = sgcs.reshape(b, 2, *sgcs.shape[1:])
+            rows = jnp.arange(acc_side)[:, None]
+            cols = jnp.arange(acc_side)[None, :]
+
+            def per_image(cam2, sgc2, size, orig, idx):
+                sgc2 = jnp.take(sgc2[..., 1:], idx, axis=-1)
+                if return_cam:
+                    cam2 = jnp.take(cam2[..., 1:], idx, axis=-1)
+                if lowres:
+                    size = (size + feat_stride - 1) // feat_stride
+                box = jnp.concatenate([jnp.zeros(2, jnp.int32), size])
+                dst = (orig + stride - 1) // stride
+
+                def resize(m, flip):
+                    return dynamic_window_resize(
+                        m, box, (acc_side, acc_side), dst_hw=dst,
+                        align_corners=lowres, flip_x=flip,
+                    )
+
+                valid = ((rows < dst[0]) & (cols < dst[1]))[..., None]
+                sgc = (resize(sgc2[0], False) + resize(sgc2[1], True)) * valid
+                if return_cam:
+                    return (resize(cam2[0], False) + resize(cam2[1], True)) * valid, sgc
+                return None, sgc
+
+            if return_cam:
+                cam_acc, sgc_acc = jax.vmap(per_image)(
+                    cam_pairs, sgc_pairs, sizes, orig_sizes, class_idx
+                )
+            else:
+                _, sgc_acc = jax.vmap(
+                    lambda s2, sz, o, i: per_image(None, s2, sz, o, i)
+                )(sgc_pairs, sizes, orig_sizes, class_idx)
+            out = {
+                "sgc": accs["sgc"] + sgc_acc,
+                "logits": accs["logits"] + logits.reshape(b, 2, -1).sum(axis=1),
+            }
+            if return_cam:
+                out["cam"] = accs["cam"] + cam_acc
+            return out
+
+        return compute
+
+    def _unpack_for(self, canvas_shape):
+        """tight_upload: (B, cs, side) canvas + per-image transposed flags
+        -> square (B, side, side) working canvas (exact un-transpose)."""
+        key = ("unpack", canvas_shape)
+        if key not in self._unpack_fn:
+            side = self.out_side
+
+            @jax.jit
+            def unpack(canvas, transposed):
+                pad = side - canvas.shape[1]
+                sq = jnp.pad(canvas, ((0, 0), (0, pad), (0, 0), (0, 0)))
+                return jnp.where(
+                    transposed[:, None, None, None], sq.transpose(0, 2, 1, 3), sq
+                )
+
+            self._unpack_fn[key] = unpack
+        return self._unpack_fn[key]
+
     def _device_fn_for(self, scale: float, batch: int):
         """device_tta per-scale program: uint8 originals -> scaled
-        normalised (orig, flip) pair on device -> shared core."""
+        normalised (orig, flip) pair on device -> gathered device core."""
         key = (scale, batch)
         if key not in self._device_scale_fn:
             canvas = bucket_side(scale, self.max_side)
             in_side = self.out_side  # original-size canvas
-            compute = self._core(canvas)
+            compute = self._device_core(canvas)
             mean = jnp.asarray(IMAGENET_MEAN[0, 0], jnp.float32)
             std = jnp.asarray(IMAGENET_STD[0, 0], jnp.float32)
 
-            @functools.partial(jax.jit, donate_argnums=(3, 4, 5))
-            def run(variables, images_u8, orig_sizes, cam_sum, sgc_sum, logits_sum):
+            @functools.partial(jax.jit, donate_argnums=(4,))
+            def run(variables, images_u8, orig_sizes, class_idx, accs):
                 scaled = jnp.round(orig_sizes.astype(jnp.float32) * scale).astype(jnp.int32)
 
                 def make_pair(img_u8, osz, ssz):
@@ -167,43 +284,48 @@ class CamTTAEngine:
 
                 orig_v, flip_v = jax.vmap(make_pair)(images_u8, orig_sizes, scaled)
                 images = jnp.stack([orig_v, flip_v], axis=1).reshape(-1, canvas, canvas, 3)
-                return compute(
-                    variables, images, scaled, orig_sizes, cam_sum, sgc_sum, logits_sum
-                )
+                return compute(variables, images, scaled, orig_sizes, class_idx, accs)
 
             self._device_scale_fn[key] = run
         return self._device_scale_fn[key]
 
     @functools.cached_property
-    def _fuse_select(self):
-        out_side = self.out_side
+    def _fuse_gathered(self):
+        """Fusion over the already-gathered K-channel accumulators.  The
+        min-max normalisation happens on the accumulation grid; when
+        accum_stride > 1 the max/min over that grid track the full-res
+        extrema because the maps are bilinear fields of far coarser
+        (stride-16) model outputs (extrema of a bilinear field sit at its
+        nodes)."""
+        acc_side = self.acc_side
+        stride = self.accum_stride
         return_cam = self.return_cam
+        quantize = self.download_dtype == "uint8"
 
         @jax.jit
-        def fuse(cam_sum, sgc_sum, orig_sizes, logits_sum, n_versions, class_idx):
-            """Fusion + per-image class gather (download only the labelled
-            classes).  class_idx: (B, K) foreground class indices (padded
-            with 0; the host drops the padding)."""
-            rows = jnp.arange(out_side)[:, None]
-            cols = jnp.arange(out_side)[None, :]
+        def fuse(accs, orig_sizes, n_versions):
+            rows = jnp.arange(acc_side)[:, None]
+            cols = jnp.arange(acc_side)[None, :]
 
-            def norm(m, orig, idx):
-                valid = ((rows < orig[0]) & (cols < orig[1]))[..., None]
-                fg = jnp.where(m < 0, 0.0, m)[..., 1:]
-                fg = jnp.take(fg, idx, axis=-1)  # (out, out, K)
+            def norm(m, orig):
+                dst = (orig + stride - 1) // stride
+                valid = ((rows < dst[0]) & (cols < dst[1]))[..., None]
+                fg = jnp.where(m < 0, 0.0, m)
                 big = jnp.where(valid, fg, -jnp.inf)
                 small = jnp.where(valid, fg, jnp.inf)
                 mx = jnp.max(big, axis=(0, 1), keepdims=True)
                 mn = jnp.min(small, axis=(0, 1), keepdims=True)
                 fg = jnp.where(fg < mn + 1e-6, 0.0, fg)
-                return (fg - mn - 1e-6) / (mx - mn + 1e-6) * valid
+                out = (fg - mn - 1e-6) / (mx - mn + 1e-6) * valid
+                if quantize:
+                    return jnp.round(jnp.clip(out, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+                return out.astype(jnp.float16)
 
-            sgc = jax.vmap(norm)(sgc_sum, orig_sizes, class_idx)
-            score = jax.nn.sigmoid(logits_sum[:, 1:] / n_versions)
+            sgc = jax.vmap(norm)(accs["sgc"], orig_sizes)
+            score = jax.nn.sigmoid(accs["logits"][:, 1:] / n_versions)
             if return_cam:
-                cam = jax.vmap(norm)(cam_sum, orig_sizes, class_idx)
-                return cam.astype(jnp.float16), sgc.astype(jnp.float16), score
-            return sgc.astype(jnp.float16), score
+                return jax.vmap(norm)(accs["cam"], orig_sizes), sgc, score
+            return sgc, score
 
         return fuse
 
@@ -375,14 +497,32 @@ class CamTTAEngine:
         device, label-selected download."""
         b = len(pil_images)
         side = self.out_side
-        canvas = np.zeros((b, side, side, 3), np.uint8)
         orig_sizes = np.zeros((b, 2), np.int32)
         for i, img in enumerate(pil_images):
             w, h = img.size
             if h > side or w > side:
                 raise ValueError(f"image {names[i]} ({h}x{w}) exceeds canvas {side}")
-            canvas[i, :h, :w] = np.asarray(img)[..., :3]
             orig_sizes[i] = (h, w)
+
+        if self.tight_upload:
+            # portrait images go in transposed; canvas height = the batch's
+            # max short side, bucketed to a multiple of 64
+            short = int(max(min(h, w) for (h, w) in orig_sizes))
+            cs = min(side, ((short + 63) // 64) * 64)
+            canvas = np.zeros((b, cs, side, 3), np.uint8)
+            transposed = np.zeros(b, bool)
+            for i, img in enumerate(pil_images):
+                arr = np.asarray(img)[..., :3]
+                h, w = arr.shape[:2]
+                if h > cs:
+                    arr = arr.transpose(1, 0, 2)
+                    transposed[i] = True
+                canvas[i, : arr.shape[0], : arr.shape[1]] = arr
+        else:
+            canvas = np.zeros((b, side, side, 3), np.uint8)
+            for i, img in enumerate(pil_images):
+                arr = np.asarray(img)[..., :3]
+                canvas[i, : arr.shape[0], : arr.shape[1]] = arr
 
         k = self.max_classes
         class_idx = np.zeros((b, k), np.int32)
@@ -392,20 +532,43 @@ class CamTTAEngine:
             class_idx[i, : len(keep)] = keep
             counts[i] = len(keep)
 
-        cam_sum = jnp.zeros((b, side, side, self.num_classes), jnp.float32)
-        sgc_sum = jnp.zeros_like(cam_sum)
-        logits_sum = jnp.zeros((b, self.num_classes), jnp.float32)
-        images_dev = jnp.asarray(canvas)
+        acc = self.acc_side
+        stride = self.accum_stride
+        accs = {
+            "sgc": jnp.zeros((b, acc, acc, k), jnp.float32),
+            "logits": jnp.zeros((b, self.num_classes), jnp.float32),
+        }
+        if self.return_cam:
+            accs["cam"] = jnp.zeros((b, acc, acc, k), jnp.float32)
+        if self.tight_upload:
+            images_dev = self._unpack_for(canvas.shape)(
+                jnp.asarray(canvas), jnp.asarray(transposed)
+            )
+        else:
+            images_dev = jnp.asarray(canvas)
         sizes_dev = jnp.asarray(orig_sizes)
+        idx_dev = jnp.asarray(class_idx)
         for s in self.scales:
             fn = self._device_fn_for(s, b)
-            cam_sum, sgc_sum, logits_sum = fn(
-                self.variables, images_dev, sizes_dev, cam_sum, sgc_sum, logits_sum
-            )
-        fused = self._fuse_select(
-            cam_sum, sgc_sum, sizes_dev, logits_sum,
-            jnp.float32(2 * len(self.scales)), jnp.asarray(class_idx),
-        )
+            accs = fn(self.variables, images_dev, sizes_dev, idx_dev, accs)
+        fused = self._fuse_gathered(accs, sizes_dev, jnp.float32(2 * len(self.scales)))
+
+        def expand(m: np.ndarray, hh: int, ww: int) -> np.ndarray:
+            """Slice one fused channel to its valid region, dequantise, and
+            (accum_stride > 1) bilinearly upsample to the original size on
+            host (PIL 'F' resize: half-pixel, C speed)."""
+            if self.download_dtype == "uint8":
+                m = m.astype(np.float32) / 255.0
+            if stride == 1:
+                return m[:hh, :ww].astype(np.float16)
+            from PIL import Image
+
+            ah = -(-hh // stride)
+            aw = -(-ww // stride)
+            img = Image.fromarray(np.ascontiguousarray(m[:ah, :aw], np.float32), "F")
+            return np.asarray(
+                img.resize((ww, hh), Image.BILINEAR), np.float32
+            ).astype(np.float16)
 
         def finalize() -> list[dict]:
             if self.return_cam:
@@ -419,11 +582,13 @@ class CamTTAEngine:
                 ks = class_idx[i, : counts[i]]
                 rec = {
                     "name": name,
-                    "sgc": {int(c): sgc[i, :hh, :ww, j] for j, c in enumerate(ks)},
+                    "sgc": {int(c): expand(sgc[i, ..., j], hh, ww) for j, c in enumerate(ks)},
                     "score": score[i],
                 }
                 if cam is not None:
-                    rec["cam"] = {int(c): cam[i, :hh, :ww, j] for j, c in enumerate(ks)}
+                    rec["cam"] = {
+                        int(c): expand(cam[i, ..., j], hh, ww) for j, c in enumerate(ks)
+                    }
                 out.append(rec)
             return out
 

@@ -183,6 +183,9 @@ def propagate_to_edge(
     Returns:
       (C, h, w) propagated CAMs.
     """
+    if method == "stencil":
+        return propagate_to_edge_stencil(cam, edge, radius, beta, exp_times)
+
     c, h, w = cam.shape
     hp, wp = h + radius, w + 2 * radius
     pi = _cached_path_index(radius, (hp, wp))
@@ -238,6 +241,90 @@ def propagate_to_edge(
 
 def _round_up_128(x: int) -> int:
     return (x + 127) // 128 * 128
+
+
+@functools.lru_cache(maxsize=8)
+def _direction_tables(radius: int):
+    """Host tables for the stencil walk: per direction (dy, dx) its path
+    cell offsets (same enumeration as PathIndex, reference :13-43)."""
+    dirs: list[tuple[int, int]] = [(0, x) for x in range(1, radius)]
+    for y in range(1, radius):
+        for x in range(-radius + 1, radius):
+            if x * x + y * y < radius * radius:
+                dirs.append((y, x))
+    out = []
+    for dy, dx in dirs:
+        length_sq = dy * dy + dx * dx
+        cells = []
+        for y in range(min(0, dy), max(0, dy) + 1):
+            for x in range(min(0, dx), max(0, dx) + 1):
+                if (dy * x - dx * y) ** 2 / length_sq < 1:
+                    cells.append((y, x))
+        out.append((dy, dx, tuple(cells)))
+    return tuple(out)
+
+
+def _shift2d(a: jax.Array, dy: int, dx: int) -> jax.Array:
+    """out(..., r, c) = a(..., r-dy, c-dx), zero-filled (any sign)."""
+    h, w = a.shape[-2:]
+    pad = [(0, 0)] * (a.ndim - 2) + [(max(dy, 0), max(-dy, 0)), (max(dx, 0), max(-dx, 0))]
+    p = jnp.pad(a, pad)
+    start = [0] * (a.ndim - 2) + [max(-dy, 0), max(-dx, 0)]
+    return jax.lax.dynamic_slice(p, start, a.shape)
+
+
+def propagate_to_edge_stencil(
+    cam: jax.Array,
+    edge: jax.Array,
+    radius: int = 5,
+    beta: int = 8,
+    exp_times: int = 6,
+) -> jax.Array:
+    """Scatter-free, gather-free random walk (same math as
+    :func:`propagate_to_edge`, reference :97-150).
+
+    Key observation: every pixel pair of a direction (dy, dx) sits on ONE
+    matrix diagonal (flat offset dy*w+dx), so
+      * construction: each direction's affinities are a SHIFTED-SLICE MAX
+        of the padded edge map — (1 - max)^beta per direction, no index
+        tables, no scatter into a (V, V) dense;
+      * the walk x <- x @ T: a 2*D-term spatial stencil
+          x'[p] = (x[p] + sum_k  shift_{+k}(x * v_k)[p]
+                         + shift_{-k}(x)[p] * v_k[p]) / colsum[p]
+        evaluated as fused shifted multiply-adds — no V^2 matrix at all.
+    O(D * C * V) per step vs O(C * V * band) banded / O(C * V^2) dense;
+    peak memory O(D * V) vs O(V^2).  Matches 'vector' to float tolerance
+    (different accumulation order only).
+    """
+    c, h, w = cam.shape
+    dirs = _direction_tables(radius)
+    edge_pad = jnp.pad(edge, ((0, radius), (radius, radius)), constant_values=1.0)
+
+    vs = []
+    for dy, dx, cells in dirs:
+        m = None
+        for py, px in cells:
+            s = jax.lax.slice(edge_pad, (py, radius + px), (py + h, radius + px + w))
+            m = s if m is None else jnp.maximum(m, s)
+        # pairs whose path touches padding see edge 1.0 -> affinity 0: the
+        # cropped-pair drop of the scatter build, expressed as zeros
+        vs.append((1.0 - m) ** beta)
+
+    colsum = jnp.ones((h, w), cam.dtype)  # unit diagonal, 1^beta
+    for (dy, dx, _), v in zip(dirs, vs):
+        colsum = colsum + v + _shift2d(v, dy, dx)
+    inv = 1.0 / colsum
+
+    x = cam * (1.0 - edge)[None]
+
+    def body(_, xm):
+        acc = xm
+        for (dy, dx, _), v in zip(dirs, vs):
+            acc = acc + _shift2d(xm * v[None], dy, dx)
+            acc = acc + _shift2d(xm, -dy, -dx) * v[None]
+        return acc * inv[None]
+
+    return jax.lax.fori_loop(0, 2**exp_times, body, x)
 
 
 def propagate_to_edge_sharded(

@@ -6,13 +6,18 @@ weights are downloaded (README.md:10).  This module completes the
 capability: it trains EdgeDisplacement weights from pseudo-labels so the
 random-walk stage has a first-party upstream.
 
-Losses (per resnet50_irn.py:197-212, with the standard IRN normalisation):
+Losses (per resnet50_irn.py:197-212, masked/normalised exactly as the IRN
+lineage's train_irn.py does — whole-batch mask sums, and the displacement
+terms divide by 2*sum(mask) because |pair_disp - target| has a (dy, dx)
+channel axis the sum runs over):
   aff        = 1 - max(sigmoid(edge) along pixel-pair path)
-  L_pos      = mean_{bg_pos} -log(aff+1e-5)/2 + mean_{fg_pos} .../2
-  L_neg      = mean_{neg}    -log(1+1e-5-aff)
-  L_dp_fg    = mean_{fg_pos pairs} |(dp_src - dp_dst) - target_disp|
-  L_dp_bg    = mean_{bg_pos pairs} |dp_src - dp_dst|
+  L_pos      = sum(bg_pos * -log(aff+1e-5))/(sum(bg_pos)+1e-5)/2 + fg term/2
+  L_neg      = sum(neg * -log(1+1e-5-aff))/(sum(neg)+1e-5)
+  L_dp_fg    = sum(fg_pos * |(dp_src-dp_dst) - target|)/(2*sum(fg_pos)+1e-5)
+  L_dp_bg    = sum(bg_pos * |dp_src-dp_dst|)/(2*sum(bg_pos)+1e-5)
   total      = (L_pos + L_neg)/2 + (L_dp_fg + L_dp_bg)/2
+Parity-tested against the reference module + this normalisation in
+tests/test_training.py::test_irn_losses_match_reference.
 """
 
 from __future__ import annotations
@@ -57,24 +62,31 @@ def pair_displacement(dp_flat: jax.Array, pi: PathIndex) -> jax.Array:
 
 
 def irn_losses(edge_out, dp_out, bg_pos, fg_pos, neg, pi: PathIndex):
-    """edge_out: (V,) logits; dp_out: (V, 2); masks: (D, P)."""
-    aff = path_affinity(jax.nn.sigmoid(edge_out), pi)
+    """Batched IRN losses.
+
+    edge_out: (N, V) logits; dp_out: (N, V, 2); masks: (N, D, P).
+    Mask sums run over the whole batch (the lineage normalisation), so
+    samples with more valid pairs weigh proportionally more.
+    """
+    aff = jax.vmap(lambda e: path_affinity(jax.nn.sigmoid(e), pi))(edge_out)
     pos_loss = -jnp.log(aff + 1e-5)
     neg_loss = -jnp.log(1.0 + 1e-5 - aff)
 
-    def masked_mean(loss, mask):
-        return jnp.sum(loss * mask) / (jnp.sum(mask) + 1e-5)
+    def masked_sum_norm(loss, mask, denom_scale=1.0):
+        return jnp.sum(loss * mask) / (denom_scale * jnp.sum(mask) + 1e-5)
 
-    l_bg_pos = masked_mean(pos_loss, bg_pos)
-    l_fg_pos = masked_mean(pos_loss, fg_pos)
-    l_neg = masked_mean(neg_loss, neg)
+    l_bg_pos = masked_sum_norm(pos_loss, bg_pos)
+    l_fg_pos = masked_sum_norm(pos_loss, fg_pos)
+    l_neg = masked_sum_norm(neg_loss, neg)
 
-    pdisp = pair_displacement(dp_out, pi)  # (D, P, 2)
+    pdisp = jax.vmap(lambda d: pair_displacement(d, pi))(dp_out)  # (N, D, P, 2)
     target = jnp.asarray(pi.search_dst, jnp.float32)[:, None, :]  # (D, 1, 2)
+    # |.| summed over the (dy, dx) channel axis; the denominator carries the
+    # matching factor 2 (train_irn.py divides by 2 * sum(mask))
     dp_fg = jnp.abs(pdisp - target).sum(-1)
     dp_bg = jnp.abs(pdisp).sum(-1)
-    l_dp_fg = masked_mean(dp_fg, fg_pos)
-    l_dp_bg = masked_mean(dp_bg, bg_pos)
+    l_dp_fg = masked_sum_norm(dp_fg, fg_pos, denom_scale=2.0)
+    l_dp_bg = masked_sum_norm(dp_bg, bg_pos, denom_scale=2.0)
 
     l_aff = l_bg_pos / 2 + l_fg_pos / 2 + l_neg
     l_dp = l_dp_fg + l_dp_bg
@@ -104,16 +116,11 @@ def irn_train_step(model, tx, state, batch, cfg: IRNTrainConfig):
         edge_out, dp_out = model.apply(
             {"params": params, "batch_stats": state.batch_stats}, batch["img"]
         )  # (N, g, g, 1), (N, g, g, 2)
-
-        def per_sample(edge, dp, bg_pos, fg_pos, neg):
-            return irn_losses(
-                edge.reshape(-1), dp.reshape(-1, 2), bg_pos, fg_pos, neg, pi
-            )
-
-        totals, metrics = jax.vmap(per_sample)(
-            edge_out[..., 0], dp_out, batch["bg_pos"], batch["fg_pos"], batch["neg"]
+        n = edge_out.shape[0]
+        return irn_losses(
+            edge_out.reshape(n, -1), dp_out.reshape(n, -1, 2),
+            batch["bg_pos"], batch["fg_pos"], batch["neg"], pi,
         )
-        return jnp.mean(totals), jax.tree.map(jnp.mean, metrics)
 
     grads, metrics = jax.grad(loss_fn, has_aux=True)(state.params)
     updates, new_opt = tx.update(grads, state.opt_state, state.params)

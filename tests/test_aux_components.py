@@ -56,9 +56,9 @@ def test_irn_losses_finite_and_meaningful():
         e[:, col : col + 2] = 6.0
         return jnp.asarray(e.reshape(-1))
 
-    dp = jnp.zeros((g * g, 2))
-    loss_good, m = irn_losses(wall(g // 2 - 1), dp, bg, fg, neg, pi)
-    loss_bad, _ = irn_losses(wall(g // 4), dp, bg, fg, neg, pi)
+    dp = jnp.zeros((1, g * g, 2))
+    loss_good, m = irn_losses(wall(g // 2 - 1)[None], dp, bg[None], fg[None], neg[None], pi)
+    loss_bad, _ = irn_losses(wall(g // 4)[None], dp, bg[None], fg[None], neg[None], pi)
     assert np.isfinite(float(loss_good)) and float(loss_good) < float(loss_bad)
     assert float(m["loss_dp_fg"]) > 0  # zero field misses the fg targets
 

@@ -159,6 +159,9 @@ def test_train_mcl_cli_one_epoch(mini_voc, tmp_path):
     assert (session / "step_0").exists()
     log = (tmp_path / "logs" / "metrics.jsonl").read_text()
     assert "loss_focal" in log
+    # observability: CAM/SGC overlay PNGs stream under <log_dir>/vis
+    vis = list((tmp_path / "logs" / "vis").glob("step*_cls*_sgc.png"))
+    assert vis, "training visualizer produced no overlay PNGs"
 
     # artifact chain: the trained checkpoint drives the CAM inference CLI
     from muscle_tpu.cli import infer_mcl

@@ -166,6 +166,72 @@ def test_cam_device_tta_matches_host_path(enc_model):
     np.testing.assert_allclose(dev["score"], host["score"], atol=1e-4)
 
 
+class _StubCamModel:
+    """Drop-in for MuSCLe in engine tests: produces SMOOTH, STRUCTURED
+    stride-16 maps (channel = fixed linear mixes of a pooled image) so the
+    min-max fusion is non-degenerate — random-weight b1 maps are
+    near-constant (spread ~1e-7), which makes the reference's pre-norm
+    zeroing collapse every normalised map and says nothing about resample
+    fidelity."""
+
+    def apply(self, variables, x, mode="cam_lowres", **kw):
+        b, h, w, _ = x.shape
+        g = 16
+        pooled = x.reshape(b, h // g, g, w // g, g, 3).mean(axis=(2, 4))
+        mix = jnp.asarray(variables["mix"])  # (3, 21)
+        maps = jnp.einsum("bhwc,ck->bhwk", pooled, mix)
+        sgc = jnp.einsum("bhwc,ck->bhwk", pooled ** 2, mix)
+        emb = maps.mean(axis=(1, 2))
+        return maps, sgc, emb, emb
+
+
+def test_cam_device_tta_lowacc_uint8_close_to_full():
+    """accum_stride=4 + uint8 download (the production fast mode: maps
+    accumulated on an out_side/4 grid, min-max normalised there, quantised,
+    host-upsampled) must stay close to the stride-1 f16 path.  Bounds the
+    DEVIATIONS.md resample-chain delta on structured synthetic maps."""
+    rng = np.random.default_rng(11)
+    model = _StubCamModel()
+    # positive mixes: all-negative channels make every fg value clip to 0
+    # and the min-max fusion degenerate (constant-map case)
+    variables = {"mix": (0.1 + np.abs(rng.normal(size=(3, 21)))).astype(np.float32)}
+    imgs = _imgs([(200, 160), (160, 224)], seed=11)
+    labels = [np.zeros(20, np.float32) for _ in imgs]
+    labels[0][3] = 1
+    labels[1][[5, 7]] = 1
+    kw = dict(scales=(0.5, 1.0), out_side=256, max_side=224, device_tta=True)
+    full = CamTTAEngine(model, variables, **kw).run_batch(imgs, ["a", "b"], labels)
+    fast = CamTTAEngine(
+        model, variables, accum_stride=4, download_dtype="uint8", **kw
+    ).run_batch(imgs, ["a", "b"], labels)
+    for f, q, lab in zip(full, fast, labels):
+        np.testing.assert_allclose(f["score"], q["score"], atol=1e-4)
+        for c in np.nonzero(lab)[0]:
+            a = f["sgc"][c].astype(np.float32)
+            b = q["sgc"][c].astype(np.float32)
+            assert a.shape == b.shape
+            assert np.abs(a - b).mean() < 0.03, (c, np.abs(a - b).mean())
+
+
+def test_cam_device_tta_tight_upload_bitwise(enc_model):
+    """tight_upload (transposed short-side canvas) must be bitwise identical
+    to the square-canvas device path — the un-transpose is exact."""
+    model, variables = enc_model
+    imgs = _imgs([(50, 40), (40, 56)], seed=12)  # one landscape, one portrait
+    labels = [np.zeros(20, np.float32) for _ in imgs]
+    labels[0][3] = 1
+    labels[1][5] = 1
+    kw = dict(scales=(0.5, 1.0), out_side=64, max_side=56, device_tta=True)
+    base = CamTTAEngine(model, variables, **kw).run_batch(imgs, ["a", "b"], labels)
+    tight = CamTTAEngine(model, variables, tight_upload=True, **kw).run_batch(
+        imgs, ["a", "b"], labels
+    )
+    for x, y, lab in zip(base, tight, labels):
+        np.testing.assert_array_equal(x["score"], y["score"])
+        for c in np.nonzero(lab)[0]:
+            np.testing.assert_array_equal(x["sgc"][c], y["sgc"][c])
+
+
 def test_random_walk_refiner(tmp_path):
     model = EdgeDisplacement(crop_size=64)
     variables = model.init(

@@ -54,6 +54,22 @@ def test_propagate_vector_equals_power():
     np.testing.assert_allclose(rv, rp, rtol=2e-3, atol=1e-5)
 
 
+def test_propagate_stencil_equals_vector():
+    """The scatter-free/gather-free stencil walk must reproduce the
+    matrix-based walk (same math, different accumulation order)."""
+    rng = np.random.default_rng(7)
+    h, w = 12, 9
+    cam = rng.uniform(0, 1, size=(3, h, w)).astype(np.float32)
+    edge = rng.uniform(0, 0.7, size=(h, w)).astype(np.float32)
+    rv = np.asarray(
+        propagate_to_edge(jnp.asarray(cam), jnp.asarray(edge), exp_times=4, method="vector")
+    )
+    rs = np.asarray(
+        propagate_to_edge(jnp.asarray(cam), jnp.asarray(edge), exp_times=4, method="stencil")
+    )
+    np.testing.assert_allclose(rs, rv, rtol=2e-4, atol=1e-6)
+
+
 def test_propagate_output_sane():
     rng = np.random.default_rng(2)
     h = w = 8

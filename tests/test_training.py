@@ -52,6 +52,75 @@ def test_adam_matches_torch_semantics():
     np.testing.assert_allclose(new_w, tw.detach().numpy(), rtol=1e-5, atol=1e-7)
 
 
+def test_irn_losses_match_reference():
+    """irn_losses == the reference AffinityDisplacementLoss raw terms
+    (resnet50_irn.py:143-212) under the IRN-lineage masked normalisation
+    (whole-batch mask sums; displacement terms / 2*sum(mask))."""
+    import importlib
+
+    import torch
+
+    from tests.reference_loader import load_reference
+
+    load_reference()
+    ref_irn = importlib.import_module("src.backbones.resnet50_irn")
+    ref_idx = importlib.import_module("src.indexing")
+    import src.backbones.resnet50 as ref_r50
+
+    orig = ref_r50.resnet50
+    ref_r50.resnet50 = lambda pretrained=True, **kw: orig(pretrained=False, **kw)
+    try:
+        g = 16
+        tpi = ref_idx.PathIndex(radius=5, default_size=(g, g))
+        tmod = ref_irn.AffinityDisplacementLoss(tpi)
+    finally:
+        ref_r50.resnet50 = orig
+
+    from muscle_tpu.ops.random_walk import PathIndex
+    from muscle_tpu.training.irn import irn_losses
+
+    pi = PathIndex(5, (g, g))
+    n, v = 2, g * g
+    rng = np.random.default_rng(3)
+    edge = rng.normal(size=(n, v)).astype(np.float32)
+    dp = rng.normal(size=(n, v, 2)).astype(np.float32)
+
+    # reference raw per-pair tensors
+    t_edge = torch.from_numpy(edge)
+    t_dp = torch.from_numpy(dp.reshape(n, g, g, 2).transpose(0, 3, 1, 2))
+    aff_t = tmod.to_affinity(torch.sigmoid(t_edge))  # (N, D, P)
+    pos_loss_t = -torch.log(aff_t + 1e-5)
+    neg_loss_t = -torch.log(1.0 + 1e-5 - aff_t)
+    pair_disp_t = tmod.to_pair_displacement(t_dp)  # (N, 2, D, P)
+    dp_fg_t = tmod.to_displacement_loss(pair_disp_t)
+    dp_bg_t = torch.abs(pair_disp_t)
+
+    shape = aff_t.shape  # (N, D, P)
+    bg = (rng.uniform(size=shape) < 0.3).astype(np.float32)
+    fg = ((rng.uniform(size=shape) < 0.3).astype(np.float32)) * (1 - bg)
+    neg = ((rng.uniform(size=shape) < 0.3).astype(np.float32)) * (1 - bg) * (1 - fg)
+    t_bg, t_fg, t_neg = (torch.from_numpy(m) for m in (bg, fg, neg))
+
+    # the lineage normalisation over the reference's raw terms
+    pos_aff = (t_bg * pos_loss_t).sum() / (t_bg.sum() + 1e-5) / 2 + (
+        t_fg * pos_loss_t
+    ).sum() / (t_fg.sum() + 1e-5) / 2
+    neg_aff = (t_neg * neg_loss_t).sum() / (t_neg.sum() + 1e-5)
+    dp_fg = (dp_fg_t * t_fg.unsqueeze(1)).sum() / (2 * t_fg.sum() + 1e-5)
+    dp_bg = (dp_bg_t * t_bg.unsqueeze(1)).sum() / (2 * t_bg.sum() + 1e-5)
+    total_t = (pos_aff + neg_aff) / 2 + (dp_fg + dp_bg) / 2
+
+    total_j, metrics = irn_losses(
+        jnp.asarray(edge), jnp.asarray(dp),
+        jnp.asarray(bg), jnp.asarray(fg), jnp.asarray(neg), pi,
+    )
+    np.testing.assert_allclose(float(metrics["loss_aff_pos"]), float(pos_aff), rtol=1e-5)
+    np.testing.assert_allclose(float(metrics["loss_aff_neg"]), float(neg_aff), rtol=1e-5)
+    np.testing.assert_allclose(float(metrics["loss_dp_fg"]), float(dp_fg), rtol=1e-5)
+    np.testing.assert_allclose(float(metrics["loss_dp_bg"]), float(dp_bg), rtol=1e-5)
+    np.testing.assert_allclose(float(total_j), float(total_t), rtol=1e-5)
+
+
 @pytest.fixture(scope="module")
 def tiny_batch():
     rng = np.random.default_rng(0)
