@@ -78,8 +78,8 @@ def main() -> None:
     for i in range(WARMUP_BATCHES):
         engine.run_batch(*make_batch(i))
 
-    # 3-deep async pipeline: batch n's download and host upsample overlap
-    # batches n+1/n+2's upload + compute
+    # 2-deep async pipeline: batch n's download and host upsample overlap
+    # batch n+1's upload + compute (profiled best depth on the relay link)
     import collections
 
     rates = []
@@ -89,7 +89,7 @@ def main() -> None:
         pending = collections.deque()
         for i in range(N_BATCHES):
             pending.append(engine.run_batch_async(*make_batch(100 + wnd * 50 + i)))
-            if len(pending) > 2:
+            if len(pending) > 1:
                 n_imgs += len(pending.popleft()())
         while pending:
             n_imgs += len(pending.popleft()())
@@ -105,6 +105,9 @@ def main() -> None:
                 "value": round(ips, 3),
                 "unit": "images/s",
                 "vs_baseline": round(ips * 8 / H100_REFERENCE_IMGS_PER_SEC, 3),
+                "baseline_anchor": "ESTIMATED 25 img/s for the reference's "
+                "batch-1 torch TTA loop on one H100 (derivation: BASELINE.md; "
+                "no CUDA hardware reachable to measure it)",
             }
         )
     )

@@ -47,10 +47,13 @@ def main(argv=None) -> None:
 
     import numpy as np
 
-    if args.platform:
-        import jax
+    import jax
 
+    if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    # fidelity gates compare against the f32 torch oracle — the default
+    # (bf16-ish) matmul precision would dominate the measured deltas
+    jax.config.update("jax_default_matmul_precision", "highest")
 
     from muscle_tpu import gates as G
     from muscle_tpu.models import MuSCLe

