@@ -134,21 +134,30 @@ def make_oracle_muscle(backbone: str, mode: str = "enc", layers: int = 1,
         # constants.
         rng = np.random.default_rng(seed)
         with torch.no_grad():
-            if hasattr(tmodel, "fc"):
-                # zero-centre each class row: the CAM einsum then straddles
-                # zero spatially, so the relu'd maps have true zeros like
-                # trained CAMs — the reference's min-max fusion is only
-                # well-conditioned when per-class min ~ 0
-                w = tmodel.fc.weight
-                w.sub_(w.mean(dim=1, keepdim=True))
-                if tmodel.fc.bias is not None:
-                    tmodel.fc.bias.zero_()
             tmodel.train()
             for _ in range(3):
                 x = torch.from_numpy(
                     rng.normal(0, 1, size=(2, 3, 96, 96)).astype(np.float32)
                 )
                 tmodel(x, cam="cam")
+            tmodel.eval()
+            if hasattr(tmodel, "fc") and mode == "enc":
+                # Trained CAMs are relu-sparse (per-class min ~ 0), which is
+                # what keeps the reference's min-max fusion well-conditioned.
+                # A random head's map is a near-constant offset w . mean(p7)
+                # instead — project each class row orthogonal to the mean p7
+                # feature (probed once) so the maps straddle zero spatially.
+                emb, _ = tmodel(
+                    torch.from_numpy(
+                        rng.normal(0, 1, size=(4, 3, 96, 96)).astype(np.float32)
+                    ),
+                    cam="logits",
+                )
+                p_bar = emb.mean(dim=0)
+                w = tmodel.fc.weight
+                w.sub_(torch.outer(w @ p_bar / (p_bar @ p_bar), p_bar))
+                if tmodel.fc.bias is not None:
+                    tmodel.fc.bias.zero_()
     tmodel.eval()
     variables = convert_muscle_state_dict(
         {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
