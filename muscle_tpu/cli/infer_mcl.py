@@ -29,6 +29,10 @@ def main(argv=None) -> None:
     p.add_argument("--exact", default=0, type=int,
                    help="shape-grouped unpadded TTA (bit-parity mode; one "
                         "compile per image shape — use for fidelity gates)")
+    p.add_argument("--fast", default=1, type=int,
+                   help="1 = production fast mode (K-class gather, stride-4 "
+                        "fusion grid + uint8 download, tight upload, 2-deep "
+                        "pipeline — DEVIATIONS.md #9); 0 = full-res f16")
     add_voc_args(p)
     args = p.parse_args(argv)
 
@@ -41,9 +45,11 @@ def main(argv=None) -> None:
     )
     variables = load_model_variables(args.weights, model, (1, 64, 64, 3), "cam")
     scales = tuple(float(s) for s in args.scales.split(","))
+    fast = dict(accum_stride=4, download_dtype="uint8", tight_upload=True)
     engine = CamTTAEngine(
         model, variables, scales=scales, num_classes=args.num_classes,
         return_cam=bool(args.save_cam),
+        **(fast if args.fast and not args.exact else {}),
     )
 
     names, labels = load_lists(args, args.infer_list)
@@ -52,18 +58,29 @@ def main(argv=None) -> None:
         if args.save_cam:
             os.makedirs(args.out_npy, exist_ok=True)
 
-    bs = args.batch_size
-    for i in range(0, len(names), bs):
-        chunk = names[i : i + bs]
-        imgs = [Image.open(get_img_path(n, args.voc12_root)).convert("RGB") for n in chunk]
-        labs = [labels[n] for n in chunk]
-        runner = engine.run_batch_exact if args.exact else engine.run_batch
-        for rec in runner(imgs, chunk, labs):
+    def save(records):
+        for rec in records:
             if args.out_npy:
                 np.save(os.path.join(args.out_npy + "_sgc", rec["name"] + ".npy"), rec["sgc"])
                 if args.save_cam:
                     np.save(os.path.join(args.out_npy, rec["name"] + ".npy"), rec["cam"])
+
+    bs = args.batch_size
+    pending = None  # 2-deep pipeline: batch n's download/save overlaps n+1
+    for i in range(0, len(names), bs):
+        chunk = names[i : i + bs]
+        imgs = [Image.open(get_img_path(n, args.voc12_root)).convert("RGB") for n in chunk]
+        labs = [labels[n] for n in chunk]
+        if args.exact:
+            save(engine.run_batch_exact(imgs, chunk, labs))
+        else:
+            nxt = engine.run_batch_async(imgs, chunk, labs)
+            if pending is not None:
+                save(pending())
+            pending = nxt
         print(f"{min(i + bs, len(names))}/{len(names)}")
+    if pending is not None:
+        save(pending())
 
 
 if __name__ == "__main__":

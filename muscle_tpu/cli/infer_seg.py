@@ -26,6 +26,10 @@ def main(argv=None) -> None:
     p.add_argument("--bifpn", default=3, type=int)
     p.add_argument("--pretrained", default="b7", type=str)
     p.add_argument("--batch_size", default=4, type=int)
+    p.add_argument("--fast", default=1, type=int,
+                   help="1 = production fast mode (stride-4 prob grid + f16 "
+                        "download + tight upload + 2-deep pipeline, "
+                        "DEVIATIONS.md #9); 0 = full-res f32 parity mode")
     add_voc_args(p)
     args = p.parse_args(argv)
 
@@ -41,23 +45,17 @@ def main(argv=None) -> None:
         bifpn_layers=args.bifpn, mode="dec", last_pooling=True,
     )
     variables = load_model_variables(args.weights, model, (1, 64, 64, 3), "seg")
-    engine = SegTTAEngine(model, variables, num_classes=args.num_classes)
+    fast = dict(accum_stride=4, download_dtype="float16", tight_upload=True)
+    engine = SegTTAEngine(
+        model, variables, num_classes=args.num_classes, **(fast if args.fast else {})
+    )
 
     names, _ = load_lists(args, args.infer_list)
     if args.out_seg:
         os.makedirs(args.out_seg, exist_ok=True)
 
-    bs = args.batch_size
-    for i in range(0, len(names), bs):
-        chunk = names[i : i + bs]
-        imgs = [Image.open(get_img_path(n, args.voc12_root)).convert("RGB") for n in chunk]
-        gates = None
-        if args.cls_dir:
-            gates = [
-                np.load(os.path.join(args.cls_dir, n + ".npy"), allow_pickle=True).squeeze()
-                for n in chunk
-            ]
-        for j, rec in enumerate(engine.run_batch(imgs, chunk, gates)):
+    def postprocess(imgs, records):
+        for j, rec in enumerate(records):
             probs = rec["probs"]
             if args.crf:
                 orig = np.asarray(imgs[j])
@@ -72,7 +70,28 @@ def main(argv=None) -> None:
             if args.out_seg:
                 pred = np.argmax(probs, axis=-1).astype(np.uint8)
                 Image.fromarray(pred).save(os.path.join(args.out_seg, rec["name"] + ".png"))
+
+    bs = args.batch_size
+    pending = None  # 2-deep pipeline: batch n's download/CRF/PNG overlaps n+1
+    for i in range(0, len(names), bs):
+        chunk = names[i : i + bs]
+        imgs = [Image.open(get_img_path(n, args.voc12_root)).convert("RGB") for n in chunk]
+        gates = None
+        if args.cls_dir:
+            gates = [
+                np.load(os.path.join(args.cls_dir, n + ".npy"), allow_pickle=True).squeeze()
+                for n in chunk
+            ]
+        if args.fast:
+            nxt = (imgs, engine.run_batch_async(imgs, chunk, gates))
+            if pending is not None:
+                postprocess(pending[0], pending[1]())
+            pending = nxt
+        else:
+            postprocess(imgs, engine.run_batch(imgs, chunk, gates))
         print(f"{min(i + bs, len(names))}/{len(names)}")
+    if pending is not None:
+        postprocess(pending[0], pending[1]())
 
 
 if __name__ == "__main__":

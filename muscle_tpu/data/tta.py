@@ -39,6 +39,45 @@ def scaled_size(w: int, h: int, scale: float) -> tuple[int, int]:
     return round(w * scale), round(h * scale)
 
 
+def pack_canvas(pil_images, names, out_side: int, tight: bool):
+    """uint8 upload canvas for the device-TTA engines.
+
+    tight=False: square (B, out_side, out_side) canvas, images top-left.
+    tight=True: (B, cs, out_side) canvas with portrait images stored
+    TRANSPOSED — cs = the batch's max short side bucketed to a multiple of
+    64 (VOC long sides are <=500 but short sides typically ~375), ~25%
+    less host->device traffic.  Returns (canvas, orig_sizes, transposed)
+    where transposed is None for the square layout.
+    """
+    import numpy as np
+
+    b = len(pil_images)
+    orig_sizes = np.zeros((b, 2), np.int32)
+    arrs = []
+    for i, img in enumerate(pil_images):
+        arr = np.asarray(img)[..., :3]
+        h, w = arr.shape[:2]
+        if h > out_side or w > out_side:
+            raise ValueError(f"image {names[i]} ({h}x{w}) exceeds canvas {out_side}")
+        orig_sizes[i] = (h, w)
+        arrs.append(arr)
+    if not tight:
+        canvas = np.zeros((b, out_side, out_side, 3), np.uint8)
+        for i, arr in enumerate(arrs):
+            canvas[i, : arr.shape[0], : arr.shape[1]] = arr
+        return canvas, orig_sizes, None
+    short = int(max(min(h, w) for (h, w) in orig_sizes))
+    cs = min(out_side, ((short + 63) // 64) * 64)
+    canvas = np.zeros((b, cs, out_side, 3), np.uint8)
+    transposed = np.zeros(b, bool)
+    for i, arr in enumerate(arrs):
+        if arr.shape[0] > cs:
+            arr = arr.transpose(1, 0, 2)
+            transposed[i] = True
+        canvas[i, : arr.shape[0], : arr.shape[1]] = arr
+    return canvas, orig_sizes, transposed
+
+
 @dataclass
 class MSFBatch:
     """One scale's device-ready TTA batch.

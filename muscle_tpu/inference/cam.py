@@ -495,34 +495,12 @@ class CamTTAEngine:
     def _run_batch_device(self, pil_images, names, labels, defer: bool = False):
         """device_tta fast path: one uint8 upload per image, all scaling on
         device, label-selected download."""
-        b = len(pil_images)
-        side = self.out_side
-        orig_sizes = np.zeros((b, 2), np.int32)
-        for i, img in enumerate(pil_images):
-            w, h = img.size
-            if h > side or w > side:
-                raise ValueError(f"image {names[i]} ({h}x{w}) exceeds canvas {side}")
-            orig_sizes[i] = (h, w)
+        from muscle_tpu.data.tta import pack_canvas
 
-        if self.tight_upload:
-            # portrait images go in transposed; canvas height = the batch's
-            # max short side, bucketed to a multiple of 64
-            short = int(max(min(h, w) for (h, w) in orig_sizes))
-            cs = min(side, ((short + 63) // 64) * 64)
-            canvas = np.zeros((b, cs, side, 3), np.uint8)
-            transposed = np.zeros(b, bool)
-            for i, img in enumerate(pil_images):
-                arr = np.asarray(img)[..., :3]
-                h, w = arr.shape[:2]
-                if h > cs:
-                    arr = arr.transpose(1, 0, 2)
-                    transposed[i] = True
-                canvas[i, : arr.shape[0], : arr.shape[1]] = arr
-        else:
-            canvas = np.zeros((b, side, side, 3), np.uint8)
-            for i, img in enumerate(pil_images):
-                arr = np.asarray(img)[..., :3]
-                canvas[i, : arr.shape[0], : arr.shape[1]] = arr
+        b = len(pil_images)
+        canvas, orig_sizes, transposed = pack_canvas(
+            pil_images, names, self.out_side, self.tight_upload
+        )
 
         k = self.max_classes
         class_idx = np.zeros((b, k), np.int32)

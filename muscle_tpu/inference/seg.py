@@ -28,6 +28,21 @@ from muscle_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
 
 
 class SegTTAEngine:
+    """12-version seg TTA.
+
+    accum_stride: 1 = accumulate mean probs at full original resolution
+    (parity mode; the download is (B, out, out, 21) — 176 MB f32 per
+    8-image batch, which dominates wall time on any host link).  N>1 =
+    accumulate on an out_side/N grid and bilinearly upsample to original
+    size on host — the probs come from stride-4 logits anyway, so N=4
+    loses nothing structural and cuts the download N^2-fold (documented
+    deviation, same family as CamTTAEngine's).
+    download_dtype: 'float32' (parity) or 'float16' (halves the link; the
+    probs feed log-unary CRFs, so f16 — which keeps small-prob exponent
+    range — is used rather than uint8).
+    tight_upload: see CamTTAEngine (exact).
+    """
+
     def __init__(
         self,
         model,
@@ -39,6 +54,9 @@ class SegTTAEngine:
         compute_dtype=jnp.float32,
         lowres: bool = True,
         device_tta: bool = True,
+        accum_stride: int = 1,
+        download_dtype: str = "float32",
+        tight_upload: bool = False,
     ):
         self.model = model
         self.variables = variables
@@ -53,12 +71,20 @@ class SegTTAEngine:
         # the full-resolution 256-channel dense feature.
         self.lowres = lowres
         self.device_tta = device_tta
+        if out_side % accum_stride:
+            raise ValueError("accum_stride must divide out_side")
+        self.accum_stride = accum_stride
+        self.acc_side = out_side // accum_stride
+        self.download_dtype = download_dtype
+        self.tight_upload = tight_upload
         self._scale_fn = {}
+        self._unpack_fn = {}
 
     def _core(self, scale: float, canvas: int):
         """Shared per-scale compute: scaled images -> accumulated probs."""
         model = self.model
-        out_side = self.out_side
+        acc_side = self.acc_side
+        acc_stride = self.accum_stride
         cdt = self.compute_dtype
         lowres = self.lowres
 
@@ -87,16 +113,17 @@ class SegTTAEngine:
 
             def per_image(pair, size, orig):
                 box = jnp.concatenate([jnp.zeros(2, jnp.int32), size])
+                dst = (orig + acc_stride - 1) // acc_stride
 
                 def resize(m, flip):
                     return dynamic_window_resize(
-                        m, box, (out_side, out_side), dst_hw=orig,
+                        m, box, (acc_side, acc_side), dst_hw=dst,
                         align_corners=False, flip_x=flip,
                     )
 
-                rows = jnp.arange(out_side)[:, None]
-                cols = jnp.arange(out_side)[None, :]
-                valid = ((rows < orig[0]) & (cols < orig[1]))[..., None]
+                rows = jnp.arange(acc_side)[:, None]
+                cols = jnp.arange(acc_side)[None, :]
+                valid = ((rows < dst[0]) & (cols < dst[1]))[..., None]
                 return (resize(pair[0], False) + resize(pair[1], True)) * valid
 
             b = sizes.shape[0]
@@ -148,28 +175,68 @@ class SegTTAEngine:
             self._scale_fn[key] = run
         return self._scale_fn[key]
 
+    def _unpack_for(self, canvas_shape):
+        key = ("unpack", canvas_shape)
+        if key not in self._unpack_fn:
+            side = self.out_side
+
+            @jax.jit
+            def unpack(canvas, transposed):
+                pad = side - canvas.shape[1]
+                sq = jnp.pad(canvas, ((0, 0), (0, pad), (0, 0), (0, 0)))
+                return jnp.where(
+                    transposed[:, None, None, None], sq.transpose(0, 2, 1, 3), sq
+                )
+
+            self._unpack_fn[key] = unpack
+        return self._unpack_fn[key]
+
+    @functools.cached_property
+    def _finish(self):
+        n = jnp.float32(2 * len(self.scales))
+        f16 = self.download_dtype == "float16"
+
+        @jax.jit
+        def finish(acc):
+            mean = acc / n
+            return mean.astype(jnp.float16) if f16 else mean
+
+        return finish
+
     def run_batch(self, pil_images, names, cls_gates=None) -> list[dict]:
         """Returns per-image {'name', 'probs' (H, W, C) float32} — the mean
         TTA softmax BEFORE CRF (CRF and argmax are applied by the caller so
         both the XLA and the exact C++ CRF backends can be used)."""
+        return self._run_batch(pil_images, names, cls_gates, defer=False)
+
+    def run_batch_async(self, pil_images, names, cls_gates=None):
+        """Dispatch without blocking; returns finalize() -> list[dict] (see
+        CamTTAEngine.run_batch_async — overlap the download + host upsample
+        of batch n with batch n+1's upload + compute)."""
+        return self._run_batch(pil_images, names, cls_gates, defer=True)
+
+    def _run_batch(self, pil_images, names, cls_gates, defer: bool):
         b = len(pil_images)
-        acc = jnp.zeros((b, self.out_side, self.out_side, self.num_classes), jnp.float32)
+        stride = self.accum_stride
+        acc = jnp.zeros((b, self.acc_side, self.acc_side, self.num_classes), jnp.float32)
 
         if self.device_tta:
-            side = self.out_side
-            canvas = np.zeros((b, side, side, 3), np.uint8)
-            orig_sizes = np.zeros((b, 2), np.int32)
-            for i, img in enumerate(pil_images):
-                w, h = img.size
-                if h > side or w > side:
-                    raise ValueError(f"image {names[i]} ({h}x{w}) exceeds canvas {side}")
-                canvas[i, :h, :w] = np.asarray(img)[..., :3]
-                orig_sizes[i] = (h, w)
-            images_dev = jnp.asarray(canvas)
+            from muscle_tpu.data.tta import pack_canvas
+
+            canvas, orig_sizes, transposed = pack_canvas(
+                pil_images, names, self.out_side, self.tight_upload
+            )
+            if transposed is not None:
+                images_dev = self._unpack_for(canvas.shape)(
+                    jnp.asarray(canvas), jnp.asarray(transposed)
+                )
+            else:
+                images_dev = jnp.asarray(canvas)
             sizes_dev = jnp.asarray(orig_sizes)
             for s in self.scales:
                 acc = self._device_fn_for(s, b)(self.variables, images_dev, sizes_dev, acc)
         else:
+            assert not defer, "async pipeline requires device_tta"
             orig_sizes = None
             for s in self.scales:
                 mb = msf_batch(pil_images, names, s, canvas=bucket_side(s, self.max_side))
@@ -179,15 +246,38 @@ class SegTTAEngine:
                     jnp.asarray(mb.orig_sizes), acc,
                 )
                 orig_sizes = mb.orig_sizes
+        fused = self._finish(acc)
 
-        mean = np.asarray(acc) / (2 * len(self.scales))
-        out = []
-        for i, name in enumerate(names):
-            hh, ww = orig_sizes[i]
-            probs = mean[i, :hh, :ww]
-            if cls_gates is not None and cls_gates[i] is not None:
-                gate = np.asarray(cls_gates[i]).reshape(-1)
-                probs = probs.copy()
-                probs[..., 1:] *= gate[1:][None, None, :]
-            out.append({"name": name, "probs": probs})
-        return out
+        def expand(m: np.ndarray, hh: int, ww: int) -> np.ndarray:
+            """Valid slice + (accum_stride > 1) host bilinear upsample of
+            one image's (acc, acc, C) mean probs to (hh, ww, C) f32."""
+            if stride == 1:
+                return m[:hh, :ww].astype(np.float32)
+            from PIL import Image
+
+            ah = -(-hh // stride)
+            aw = -(-ww // stride)
+            chans = [
+                np.asarray(
+                    Image.fromarray(
+                        np.ascontiguousarray(m[:ah, :aw, c], np.float32), "F"
+                    ).resize((ww, hh), Image.BILINEAR),
+                    np.float32,
+                )
+                for c in range(m.shape[-1])
+            ]
+            return np.stack(chans, axis=-1)
+
+        def finalize() -> list[dict]:
+            mean = np.asarray(fused)
+            out = []
+            for i, name in enumerate(names):
+                hh, ww = orig_sizes[i]
+                probs = expand(mean[i], hh, ww)
+                if cls_gates is not None and cls_gates[i] is not None:
+                    gate = np.asarray(cls_gates[i]).reshape(-1)
+                    probs[..., 1:] *= gate[1:][None, None, :]
+                out.append({"name": name, "probs": probs})
+            return out
+
+        return finalize if defer else finalize()

@@ -123,6 +123,28 @@ def test_seg_lowres_matches_fullres(enc_model):
     np.testing.assert_allclose(low, full, atol=2e-5)
 
 
+def test_seg_fast_mode_close_to_parity_mode():
+    """accum_stride=4 + f16 download + tight upload (the production seg
+    fast mode — cuts the 176MB/batch f32 probs download 128-fold) must
+    stay close to the stride-1 f32 path."""
+    model = MuSCLe(
+        backbone_name="efficientnet-b1", mode="dec", bifpn_layers=1, last_pooling=True
+    )
+    variables = model.init(
+        {"params": jax.random.key(7)}, jnp.zeros((1, 32, 32, 3)), mode="seg"
+    )
+    imgs = _imgs([(50, 40), (40, 56)], seed=13)
+    kw = dict(scales=(0.5, 1.0), out_side=64, max_side=56, device_tta=True)
+    base = SegTTAEngine(model, variables, **kw).run_batch(imgs, ["a", "b"])
+    fast = SegTTAEngine(
+        model, variables, accum_stride=4, download_dtype="float16",
+        tight_upload=True, **kw
+    ).run_batch(imgs, ["a", "b"])
+    for x, y in zip(base, fast):
+        assert x["probs"].shape == y["probs"].shape
+        assert np.abs(x["probs"] - y["probs"]).mean() < 0.01
+
+
 def test_cam_lowres_close_to_fullres(enc_model):
     """single-stage p7->orig resize vs the reference two-stage chain: not
     bitwise, but the fused normalised maps must agree closely."""
