@@ -59,6 +59,7 @@ def main() -> None:
         model, variables, compute_dtype=jnp.bfloat16, lowres=True,
         device_tta=True, max_classes=4, return_cam=False,
         accum_stride=4, download_dtype="uint8", tight_upload=True,
+        upload_mode="ycbcr420",
     )
 
     # synthetic VOC-shaped inputs (typical 500x375 / 375x500 mix)

@@ -31,8 +31,8 @@ def main(argv=None) -> None:
                         "compile per image shape — use for fidelity gates)")
     p.add_argument("--fast", default=1, type=int,
                    help="1 = production fast mode (K-class gather, stride-4 "
-                        "fusion grid + uint8 download, tight upload, 2-deep "
-                        "pipeline — DEVIATIONS.md #9); 0 = full-res f16")
+                        "fusion grid + uint8 download, tight ycbcr420 upload, "
+                        "2-deep pipeline — DEVIATIONS.md #9/#13); 0 = full-res f16")
     add_voc_args(p)
     args = p.parse_args(argv)
 
@@ -45,7 +45,8 @@ def main(argv=None) -> None:
     )
     variables = load_model_variables(args.weights, model, (1, 64, 64, 3), "cam")
     scales = tuple(float(s) for s in args.scales.split(","))
-    fast = dict(accum_stride=4, download_dtype="uint8", tight_upload=True)
+    fast = dict(accum_stride=4, download_dtype="uint8", tight_upload=True,
+                upload_mode="ycbcr420")
     engine = CamTTAEngine(
         model, variables, scales=scales, num_classes=args.num_classes,
         return_cam=bool(args.save_cam),

@@ -28,8 +28,8 @@ def main(argv=None) -> None:
     p.add_argument("--batch_size", default=4, type=int)
     p.add_argument("--fast", default=1, type=int,
                    help="1 = production fast mode (stride-4 prob grid + f16 "
-                        "download + tight upload + 2-deep pipeline, "
-                        "DEVIATIONS.md #9); 0 = full-res f32 parity mode")
+                        "download + tight ycbcr420 upload + 2-deep pipeline, "
+                        "DEVIATIONS.md #9/#13); 0 = full-res f32 parity mode")
     add_voc_args(p)
     args = p.parse_args(argv)
 
@@ -45,7 +45,8 @@ def main(argv=None) -> None:
         bifpn_layers=args.bifpn, mode="dec", last_pooling=True,
     )
     variables = load_model_variables(args.weights, model, (1, 64, 64, 3), "seg")
-    fast = dict(accum_stride=4, download_dtype="float16", tight_upload=True)
+    fast = dict(accum_stride=4, download_dtype="float16", tight_upload=True,
+                upload_mode="ycbcr420")
     engine = SegTTAEngine(
         model, variables, num_classes=args.num_classes, **(fast if args.fast else {})
     )

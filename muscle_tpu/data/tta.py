@@ -78,6 +78,69 @@ def pack_canvas(pil_images, names, out_side: int, tight: bool):
     return canvas, orig_sizes, transposed
 
 
+def pack_canvas_ycbcr(pil_images, names, out_side: int, tight: bool = True):
+    """Chroma-subsampled (4:2:0) upload canvases for the device-TTA engines.
+
+    Y plane at full resolution, Cb/Cr box-averaged 2x (the JPEG/4:2:0
+    convention — VOC JPEGs are stored this way on disk, so for real data
+    this upload carries the same chroma information the RGB decode
+    interpolated from), i.e. 1.5 bytes/pixel vs RGB's 3.  Layout mirrors
+    pack_canvas: tight=True stores images whose height exceeds the
+    bucketed short-side canvas TRANSPOSED (both planes).  The padded
+    chroma edge is replicated one row/col so the device's bilinear 2x
+    upsample never blends image chroma with canvas zeros inside the
+    valid region.
+
+    Returns (y_canvas (B, cs, S) u8, c_canvas (B, cs//2, S//2, 2) u8,
+    orig_sizes (B, 2), transposed (B,) bool).  Device-side inverse:
+    muscle_tpu/inference/upload.py ycbcr420_unpack_fn.
+    """
+    b = len(pil_images)
+    orig_sizes = np.zeros((b, 2), np.int32)
+    planes = []
+    for i, img in enumerate(pil_images):
+        w, h = img.size
+        if h > out_side or w > out_side:
+            raise ValueError(f"image {names[i]} ({h}x{w}) exceeds canvas {out_side}")
+        orig_sizes[i] = (h, w)
+        ycc = img.convert("YCbCr")
+        y, cb, cr = (np.asarray(p) for p in ycc.split())
+        cw, ch = (w + 1) // 2, (h + 1) // 2
+        c = np.stack(
+            [
+                np.asarray(Image.fromarray(p).resize((cw, ch), Image.BOX))
+                for p in (cb, cr)
+            ],
+            axis=-1,
+        )
+        planes.append((y, c))
+    if tight:
+        short = int(max(min(h, w) for (h, w) in orig_sizes))
+        cs = min(out_side, ((short + 63) // 64) * 64)
+    else:
+        cs = out_side
+    y_canvas = np.zeros((b, cs, out_side), np.uint8)
+    c_canvas = np.zeros((b, cs // 2, out_side // 2, 2), np.uint8)
+    transposed = np.zeros(b, bool)
+    for i, (y, c) in enumerate(planes):
+        if y.shape[0] > cs:
+            y = y.transpose(1, 0)
+            c = c.transpose(1, 0, 2)
+            transposed[i] = True
+        y_canvas[i, : y.shape[0], : y.shape[1]] = y
+        ch, cw = c.shape[:2]
+        c_canvas[i, :ch, :cw] = c
+        # replicate chroma edge into the first padded row/col (bilinear 2x
+        # upsample support reaches one sample past the valid boundary)
+        if ch < cs // 2:
+            c_canvas[i, ch, :cw] = c[-1]
+        if cw < out_side // 2:
+            c_canvas[i, : ch + (ch < cs // 2), cw] = c_canvas[
+                i, : ch + (ch < cs // 2), cw - 1
+            ]
+    return y_canvas, c_canvas, orig_sizes, transposed
+
+
 @dataclass
 class MSFBatch:
     """One scale's device-ready TTA batch.

@@ -70,6 +70,13 @@ class CamTTAEngine:
         canvas height is bucketed per batch (multiples of 64), cutting the
         dominant host->device transfer ~25% on VOC-shaped data.  Bitwise
         identical outputs (the transpose is exact).
+      upload_mode: 'rgb' (parity) or 'ycbcr420' (device_tta only) —
+        chroma-subsampled upload: Y full-res + CbCr half-res (1.5 vs 3
+        bytes/pixel), reconstructed to RGB on device.  VOC JPEGs are
+        4:2:0 on disk, so for real data this carries the same chroma the
+        RGB decode interpolated from; deviation bounded by
+        tests/test_inference.py (see inference/upload.py).  Composes with
+        tight_upload.
     """
 
     def __init__(
@@ -88,6 +95,7 @@ class CamTTAEngine:
         accum_stride: int = 1,
         download_dtype: str = "float16",
         tight_upload: bool = False,
+        upload_mode: str = "rgb",
     ):
         self.model = model
         self.variables = variables
@@ -111,9 +119,11 @@ class CamTTAEngine:
         self.acc_side = out_side // accum_stride
         self.download_dtype = download_dtype
         self.tight_upload = tight_upload
+        if upload_mode not in ("rgb", "ycbcr420"):
+            raise ValueError(f"unsupported upload_mode {upload_mode!r}")
+        self.upload_mode = upload_mode
         self._scale_fn = {}
         self._device_scale_fn = {}
-        self._unpack_fn = {}
 
     def _core(self, canvas: int):
         """Shared per-scale compute: scaled normalised (orig, flip) pairs ->
@@ -238,24 +248,6 @@ class CamTTAEngine:
             return out
 
         return compute
-
-    def _unpack_for(self, canvas_shape):
-        """tight_upload: (B, cs, side) canvas + per-image transposed flags
-        -> square (B, side, side) working canvas (exact un-transpose)."""
-        key = ("unpack", canvas_shape)
-        if key not in self._unpack_fn:
-            side = self.out_side
-
-            @jax.jit
-            def unpack(canvas, transposed):
-                pad = side - canvas.shape[1]
-                sq = jnp.pad(canvas, ((0, 0), (0, pad), (0, 0), (0, 0)))
-                return jnp.where(
-                    transposed[:, None, None, None], sq.transpose(0, 2, 1, 3), sq
-                )
-
-            self._unpack_fn[key] = unpack
-        return self._unpack_fn[key]
 
     def _device_fn_for(self, scale: float, batch: int):
         """device_tta per-scale program: uint8 originals -> scaled
@@ -495,12 +487,29 @@ class CamTTAEngine:
     def _run_batch_device(self, pil_images, names, labels, defer: bool = False):
         """device_tta fast path: one uint8 upload per image, all scaling on
         device, label-selected download."""
-        from muscle_tpu.data.tta import pack_canvas
+        from muscle_tpu.data.tta import pack_canvas, pack_canvas_ycbcr
+        from muscle_tpu.inference.upload import square_unpack_fn, ycbcr420_unpack_fn
 
         b = len(pil_images)
-        canvas, orig_sizes, transposed = pack_canvas(
-            pil_images, names, self.out_side, self.tight_upload
-        )
+        if self.upload_mode == "ycbcr420":
+            y, c, orig_sizes, transposed = pack_canvas_ycbcr(
+                pil_images, names, self.out_side, self.tight_upload
+            )
+            images_dev = ycbcr420_unpack_fn(self.out_side)(
+                jnp.asarray(y), jnp.asarray(c), jnp.asarray(transposed)
+            )
+        elif self.tight_upload:
+            canvas, orig_sizes, transposed = pack_canvas(
+                pil_images, names, self.out_side, True
+            )
+            images_dev = square_unpack_fn(self.out_side)(
+                jnp.asarray(canvas), jnp.asarray(transposed)
+            )
+        else:
+            canvas, orig_sizes, _ = pack_canvas(
+                pil_images, names, self.out_side, False
+            )
+            images_dev = jnp.asarray(canvas)
 
         k = self.max_classes
         class_idx = np.zeros((b, k), np.int32)
@@ -518,12 +527,6 @@ class CamTTAEngine:
         }
         if self.return_cam:
             accs["cam"] = jnp.zeros((b, acc, acc, k), jnp.float32)
-        if self.tight_upload:
-            images_dev = self._unpack_for(canvas.shape)(
-                jnp.asarray(canvas), jnp.asarray(transposed)
-            )
-        else:
-            images_dev = jnp.asarray(canvas)
         sizes_dev = jnp.asarray(orig_sizes)
         idx_dev = jnp.asarray(class_idx)
         for s in self.scales:

@@ -41,6 +41,9 @@ class SegTTAEngine:
     probs feed log-unary CRFs, so f16 — which keeps small-prob exponent
     range — is used rather than uint8).
     tight_upload: see CamTTAEngine (exact).
+    upload_mode: 'rgb' (parity) or 'ycbcr420' — chroma-subsampled upload,
+    see CamTTAEngine / inference/upload.py (deviation bounded by
+    tests/test_inference.py).
     """
 
     def __init__(
@@ -57,6 +60,7 @@ class SegTTAEngine:
         accum_stride: int = 1,
         download_dtype: str = "float32",
         tight_upload: bool = False,
+        upload_mode: str = "rgb",
     ):
         self.model = model
         self.variables = variables
@@ -77,8 +81,10 @@ class SegTTAEngine:
         self.acc_side = out_side // accum_stride
         self.download_dtype = download_dtype
         self.tight_upload = tight_upload
+        if upload_mode not in ("rgb", "ycbcr420"):
+            raise ValueError(f"unsupported upload_mode {upload_mode!r}")
+        self.upload_mode = upload_mode
         self._scale_fn = {}
-        self._unpack_fn = {}
 
     def _core(self, scale: float, canvas: int):
         """Shared per-scale compute: scaled images -> accumulated probs."""
@@ -175,22 +181,6 @@ class SegTTAEngine:
             self._scale_fn[key] = run
         return self._scale_fn[key]
 
-    def _unpack_for(self, canvas_shape):
-        key = ("unpack", canvas_shape)
-        if key not in self._unpack_fn:
-            side = self.out_side
-
-            @jax.jit
-            def unpack(canvas, transposed):
-                pad = side - canvas.shape[1]
-                sq = jnp.pad(canvas, ((0, 0), (0, pad), (0, 0), (0, 0)))
-                return jnp.where(
-                    transposed[:, None, None, None], sq.transpose(0, 2, 1, 3), sq
-                )
-
-            self._unpack_fn[key] = unpack
-        return self._unpack_fn[key]
-
     @functools.cached_property
     def _finish(self):
         n = jnp.float32(2 * len(self.scales))
@@ -221,16 +211,30 @@ class SegTTAEngine:
         acc = jnp.zeros((b, self.acc_side, self.acc_side, self.num_classes), jnp.float32)
 
         if self.device_tta:
-            from muscle_tpu.data.tta import pack_canvas
-
-            canvas, orig_sizes, transposed = pack_canvas(
-                pil_images, names, self.out_side, self.tight_upload
+            from muscle_tpu.data.tta import pack_canvas, pack_canvas_ycbcr
+            from muscle_tpu.inference.upload import (
+                square_unpack_fn,
+                ycbcr420_unpack_fn,
             )
-            if transposed is not None:
-                images_dev = self._unpack_for(canvas.shape)(
+
+            if self.upload_mode == "ycbcr420":
+                y, c, orig_sizes, transposed = pack_canvas_ycbcr(
+                    pil_images, names, self.out_side, self.tight_upload
+                )
+                images_dev = ycbcr420_unpack_fn(self.out_side)(
+                    jnp.asarray(y), jnp.asarray(c), jnp.asarray(transposed)
+                )
+            elif self.tight_upload:
+                canvas, orig_sizes, transposed = pack_canvas(
+                    pil_images, names, self.out_side, True
+                )
+                images_dev = square_unpack_fn(self.out_side)(
                     jnp.asarray(canvas), jnp.asarray(transposed)
                 )
             else:
+                canvas, orig_sizes, _ = pack_canvas(
+                    pil_images, names, self.out_side, False
+                )
                 images_dev = jnp.asarray(canvas)
             sizes_dev = jnp.asarray(orig_sizes)
             for s in self.scales:

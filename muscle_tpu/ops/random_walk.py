@@ -279,6 +279,8 @@ def propagate_to_edge_stencil(
     radius: int = 5,
     beta: int = 8,
     exp_times: int = 6,
+    pallas: bool | None = None,
+    interpret: bool = False,
 ) -> jax.Array:
     """Scatter-free, gather-free random walk (same math as
     :func:`propagate_to_edge`, reference :97-150).
@@ -295,27 +297,70 @@ def propagate_to_edge_stencil(
     O(D * C * V) per step vs O(C * V * band) banded / O(C * V^2) dense;
     peak memory O(D * V) vs O(V^2).  Matches 'vector' to float tolerance
     (different accumulation order only).
+
+    pallas: run the step loop as a VMEM-resident Pallas kernel (all
+    2^exp_times iterations on-chip, zero HBM traffic between steps —
+    ops/pallas/stencil_walk.py).  None = auto: on TPU backends whenever
+    the walk state fits VMEM.  The construction (shifted-slice max) and
+    the kernel inputs are built on a lane-aligned padded domain with
+    edge=1.0 padding, which makes the kernel's circular rolls exact
+    (see the kernel docstring); results match the XLA loop to float
+    tolerance.
     """
     c, h, w = cam.shape
     dirs = _direction_tables(radius)
-    edge_pad = jnp.pad(edge, ((0, radius), (radius, radius)), constant_values=1.0)
+
+    use_pallas = pallas
+    if use_pallas is None:
+        from muscle_tpu.ops.pallas.stencil_walk import vmem_fits
+
+        hp8, wp128 = (h + 7) // 8 * 8, _round_up_128(w)
+        use_pallas = (
+            jax.default_backend() == "tpu" and vmem_fits(c, len(dirs), hp8, wp128)
+        )
+
+    if use_pallas:
+        hp, wp = (h + 7) // 8 * 8, _round_up_128(w)
+        edge_dom = jnp.pad(
+            edge, ((0, hp - h), (0, wp - w)), constant_values=1.0
+        )
+    else:
+        hp, wp = h, w
+        edge_dom = edge
+    edge_pad = jnp.pad(
+        edge_dom, ((0, radius), (radius, radius)), constant_values=1.0
+    )
 
     vs = []
     for dy, dx, cells in dirs:
         m = None
         for py, px in cells:
-            s = jax.lax.slice(edge_pad, (py, radius + px), (py + h, radius + px + w))
+            s = jax.lax.slice(edge_pad, (py, radius + px), (py + hp, radius + px + wp))
             m = s if m is None else jnp.maximum(m, s)
         # pairs whose path touches padding see edge 1.0 -> affinity 0: the
         # cropped-pair drop of the scatter build, expressed as zeros
         vs.append((1.0 - m) ** beta)
 
-    colsum = jnp.ones((h, w), cam.dtype)  # unit diagonal, 1^beta
+    colsum = jnp.ones((hp, wp), cam.dtype)  # unit diagonal, 1^beta
     for (dy, dx, _), v in zip(dirs, vs):
         colsum = colsum + v + _shift2d(v, dy, dx)
     inv = 1.0 / colsum
 
     x = cam * (1.0 - edge)[None]
+
+    if use_pallas:
+        from muscle_tpu.ops.pallas.stencil_walk import stencil_walk_pallas
+
+        x0 = jnp.pad(x, ((0, 0), (0, hp - h), (0, wp - w)))
+        out = stencil_walk_pallas(
+            x0,
+            jnp.stack(vs),
+            inv,
+            dirs=tuple((dy, dx) for dy, dx, _ in dirs),
+            steps=2**exp_times,
+            interpret=interpret,
+        )
+        return out[:, :h, :w]
 
     def body(_, xm):
         acc = xm

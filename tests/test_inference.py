@@ -254,6 +254,80 @@ def test_cam_device_tta_tight_upload_bitwise(enc_model):
             np.testing.assert_array_equal(x["sgc"][c], y["sgc"][c])
 
 
+def test_pack_canvas_ycbcr_roundtrip():
+    """Host 4:2:0 pack -> device unpack must reconstruct smooth images
+    closely (chroma is half-res; Y is exact up to the BT.601 roundtrip).
+    Covers both orientations (one image stored transposed)."""
+    from muscle_tpu.data.tta import pack_canvas_ycbcr
+    from muscle_tpu.inference.upload import ycbcr420_unpack_fn
+
+    rng = np.random.default_rng(3)
+    imgs = []
+    # (60, 90) landscape fits the 64-bucketed short-side canvas; (100, 60)
+    # portrait exceeds it and is stored transposed
+    for h, w in [(60, 90), (100, 60)]:
+        yy = np.linspace(0, 1, h)[:, None, None]
+        xx = np.linspace(0, 1, w)[None, :, None]
+        base = 255 * (0.25 + 0.5 * (yy * [1, 0.3, 0.7] + xx * [0.2, 0.8, 0.1]) / 1.1)
+        base += rng.normal(0, 3, size=(h, w, 3))
+        imgs.append(Image.fromarray(np.clip(base, 0, 255).astype(np.uint8)))
+    y, c, sizes, transposed = pack_canvas_ycbcr(imgs, ["a", "b"], 128, tight=True)
+    assert transposed.tolist() == [False, True]
+    assert y.shape == (2, 64, 128) and c.shape == (2, 32, 64, 2)
+    rgb = np.asarray(
+        ycbcr420_unpack_fn(128)(jnp.asarray(y), jnp.asarray(c), jnp.asarray(transposed))
+    )
+    for i, img in enumerate(imgs):
+        h, w = sizes[i]
+        err = np.abs(rgb[i, :h, :w] - np.asarray(img, np.float32))
+        assert err.mean() < 2.0, err.mean()  # 0-255 units
+        assert err.max() < 16.0, err.max()
+
+
+def test_cam_upload_ycbcr_close_to_rgb():
+    """ycbcr420 upload (production link saver) must stay close to the RGB
+    upload on the same engine config — bounds the chroma-subsample + BT.601
+    roundtrip deviation on structured maps (DEVIATIONS.md)."""
+    rng = np.random.default_rng(13)
+    model = _StubCamModel()
+    variables = {"mix": (0.1 + np.abs(rng.normal(size=(3, 21)))).astype(np.float32)}
+    imgs = _imgs([(200, 160), (160, 224)], seed=13)
+    labels = [np.zeros(20, np.float32) for _ in imgs]
+    labels[0][3] = 1
+    labels[1][[5, 7]] = 1
+    kw = dict(scales=(0.5, 1.0), out_side=256, max_side=224, device_tta=True,
+              tight_upload=True)
+    base = CamTTAEngine(model, variables, **kw).run_batch(imgs, ["a", "b"], labels)
+    ycc = CamTTAEngine(model, variables, upload_mode="ycbcr420", **kw).run_batch(
+        imgs, ["a", "b"], labels
+    )
+    for f, q, lab in zip(base, ycc, labels):
+        # the stub's logits are raw image means, far more chroma-sensitive
+        # than a trained classifier head; 0.01 on the sigmoid scale
+        np.testing.assert_allclose(f["score"], q["score"], atol=1e-2)
+        for cidx in np.nonzero(lab)[0]:
+            a = f["sgc"][cidx].astype(np.float32)
+            b = q["sgc"][cidx].astype(np.float32)
+            assert np.abs(a - b).mean() < 0.02, (cidx, np.abs(a - b).mean())
+
+
+def test_seg_upload_ycbcr_close_to_rgb():
+    model = MuSCLe(
+        backbone_name="efficientnet-b1", mode="dec", bifpn_layers=1, last_pooling=True
+    )
+    variables = model.init(
+        {"params": jax.random.key(7)}, jnp.zeros((1, 32, 32, 3)), mode="seg"
+    )
+    imgs = _imgs([(50, 40), (40, 56)], seed=14)
+    kw = dict(scales=(0.5, 1.0), out_side=64, max_side=56, device_tta=True)
+    base = SegTTAEngine(model, variables, **kw).run_batch(imgs, ["a", "b"])
+    ycc = SegTTAEngine(model, variables, upload_mode="ycbcr420", **kw).run_batch(
+        imgs, ["a", "b"]
+    )
+    for x, y in zip(base, ycc):
+        assert np.abs(x["probs"] - y["probs"]).mean() < 0.01
+
+
 def test_random_walk_refiner(tmp_path):
     model = EdgeDisplacement(crop_size=64)
     variables = model.init(

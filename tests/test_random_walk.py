@@ -70,6 +70,30 @@ def test_propagate_stencil_equals_vector():
     np.testing.assert_allclose(rs, rv, rtol=2e-4, atol=1e-6)
 
 
+def test_propagate_stencil_pallas_equals_xla():
+    """The VMEM-resident Pallas step loop (interpret mode on CPU) must
+    reproduce the XLA stencil walk — the lane-aligned padded domain +
+    circular-roll formulation is exact (ops/pallas/stencil_walk.py)."""
+    from muscle_tpu.ops.random_walk import propagate_to_edge_stencil
+
+    rng = np.random.default_rng(9)
+    h, w = 12, 9
+    cam = rng.uniform(0, 1, size=(3, h, w)).astype(np.float32)
+    edge = rng.uniform(0, 0.7, size=(h, w)).astype(np.float32)
+    base = np.asarray(
+        propagate_to_edge_stencil(
+            jnp.asarray(cam), jnp.asarray(edge), exp_times=4, pallas=False
+        )
+    )
+    pal = np.asarray(
+        propagate_to_edge_stencil(
+            jnp.asarray(cam), jnp.asarray(edge), exp_times=4, pallas=True,
+            interpret=True,
+        )
+    )
+    np.testing.assert_allclose(pal, base, rtol=2e-4, atol=1e-6)
+
+
 def test_propagate_output_sane():
     rng = np.random.default_rng(2)
     h = w = 8
