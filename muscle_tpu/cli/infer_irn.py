@@ -27,8 +27,14 @@ def main(argv=None) -> None:
     p.add_argument("--sem_seg_out_dir", default="./irn_rw", type=str)
     p.add_argument("--infer_list", default="data/train.txt", type=str)
     p.add_argument("--soft_output", default=0, type=int)
-    p.add_argument("--walk_method", default="banded",
-                   choices=["vector", "banded", "power"], type=str)
+    p.add_argument("--walk_method", default="stencil",
+                   choices=["stencil", "vector", "banded", "power"], type=str)
+    p.add_argument("--batch_size", default=8, type=int)
+    p.add_argument("--fast", default=1, type=int,
+                   help="1 = production IO mode (ycbcr420 image upload, "
+                        "K-channel f16 CAM upload, grid-res f16 download + "
+                        "host upsample — ~16x less link traffic, "
+                        "DEVIATIONS.md #14); 0 = full-res f32 parity IO")
     add_voc_args(p)
     args = p.parse_args(argv)
 
@@ -45,6 +51,7 @@ def main(argv=None) -> None:
     refiner = RandomWalkRefiner(
         model, variables, beta=args.beta, exp_times=args.exp_times,
         bg_threshold=args.sem_seg_bg_thres, walk_method=args.walk_method,
+        fast_io=bool(args.fast),
     )
 
     names, _ = load_lists(args, args.infer_list)
@@ -52,22 +59,29 @@ def main(argv=None) -> None:
         os.makedirs(args.sem_seg_out_dir, exist_ok=True)
     os.makedirs(args.sem_seg_out_dir + "_png", exist_ok=True)
 
-    for i, name in enumerate(names):
-        img = Image.open(get_img_path(name, args.voc12_root)).convert("RGB")
-        cam_dict = np.load(os.path.join(args.cam_dir, name + ".npy"), allow_pickle=True).item()
-        scores = refiner.refine_image(img, cam_dict)  # (H, W, 21)
-        if args.soft_output:
-            np.save(
-                os.path.join(args.sem_seg_out_dir, name + ".npy"),
-                scores.astype(np.float16),
+    bs = max(1, args.batch_size)
+    for start in range(0, len(names), bs):
+        chunk = names[start : start + bs]
+        imgs, dicts = [], []
+        for name in chunk:
+            imgs.append(Image.open(get_img_path(name, args.voc12_root)).convert("RGB"))
+            dicts.append(
+                np.load(
+                    os.path.join(args.cam_dir, name + ".npy"), allow_pickle=True
+                ).item()
             )
-        else:
-            save_indexed_png(
-                os.path.join(args.sem_seg_out_dir + "_png", name + ".png"),
-                refiner.to_png_labels(scores),
-            )
-        if i % 50 == 0:
-            print(f"{i}/{len(names)}")
+        for name, scores in zip(chunk, refiner.refine_batch(imgs, dicts)):
+            if args.soft_output:
+                np.save(
+                    os.path.join(args.sem_seg_out_dir, name + ".npy"),
+                    scores.astype(np.float16),
+                )
+            else:
+                save_indexed_png(
+                    os.path.join(args.sem_seg_out_dir + "_png", name + ".png"),
+                    refiner.to_png_labels(scores),
+                )
+        print(f"{min(start + bs, len(names))}/{len(names)}")
 
 
 if __name__ == "__main__":

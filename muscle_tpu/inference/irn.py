@@ -35,8 +35,18 @@ class RandomWalkRefiner:
         images skip up to ~4x of edge-forward + walk compute.  0 disables
         (every image uses crop_size, one compiled program).
       walk_method: 'stencil' (default; scatter-free construction + spatial-
-        stencil walk, ~3x faster than the banded Pallas matmul and ~5x
-        faster than 'vector' on chip), 'banded', 'vector', or 'power'.
+        stencil walk — VMEM-resident Pallas step loop on TPU backends),
+        'banded', 'vector', or 'power'.
+      fast_io: production IO mode.  Parity mode moves ~49 MB/image over
+        the host<->device link (f32 orig+flip pair up, f32 dense 20-class
+        CAM stack up, f32 full-res scores down); fast_io uploads the image
+        ONCE as YCbCr 4:2:0 (normalisation + flip on device), the CAMs as
+        K labelled channels in f16 (scattered to the 21-class stack on
+        device), and downloads the walk output at the stride-4 grid in
+        f16, upsampled to image size on host — ~3 MB/image, same family
+        of bounded deviations as the TTA engines (DEVIATIONS.md #9/#13;
+        bounded by tests/test_inference.py).
+      max_classes: fast_io per-image class budget (VOC rarely exceeds 4).
     """
 
     def __init__(
@@ -51,6 +61,8 @@ class RandomWalkRefiner:
         stride: int = 4,
         walk_method: str = "stencil",
         bucket: int = 128,
+        fast_io: bool = False,
+        max_classes: int = 4,
     ):
         self.model = irn_model
         self.variables = variables
@@ -63,8 +75,11 @@ class RandomWalkRefiner:
         self.grid = crop_size // stride  # max walk grid side
         self.bucket = bucket
         self.walk_method = walk_method
+        self.fast_io = fast_io
+        self.max_classes = max_classes
         self._refine_cache = {}
         self._refine_batch_cache = {}
+        self._refine_fast_cache = {}
 
     def _crop_for(self, h: int, w: int) -> int:
         if not self.bucket:
@@ -87,6 +102,8 @@ class RandomWalkRefiner:
         stride = self.stride
         grid = crop // stride
 
+        core = self._walk_core(crop, model)
+
         # variables passed as an argument (closure-captured arrays become
         # XLA constants — see cam.py note)
         @jax.jit
@@ -98,6 +115,26 @@ class RandomWalkRefiner:
             Returns (21, 512, 512) bg-thresholded random-walk scores
             (valid top-left window (H, W), bg channel 0).
             """
+            rw = core(variables, img_pair, cams, size)
+            rw_up = resize_bilinear(
+                rw.transpose(1, 2, 0), (crop, crop), align_corners=False
+            ).transpose(2, 0, 1)
+            rw_up = rw_up / jnp.maximum(jnp.max(rw_up), 1e-12)
+            bg = jnp.full((1, crop, crop), self.bg_threshold, rw_up.dtype)
+            return jnp.concatenate([bg, rw_up], axis=0)
+
+        self._refine_cache[crop] = refine
+        return refine
+
+    def _walk_core(self, crop: int, model):
+        """Shared edge-forward + CAM-downscale + random-walk body; returns
+        the raw propagated CAMs at the stride-4 walk grid."""
+        radius = self.radius
+        beta, exp_times = self.beta, self.exp_times
+        stride = self.stride
+        grid = crop // stride
+
+        def core(variables, img_pair, cams, size):
             edge, _ = model.apply(variables, img_pair, valid_hw=size)
             # model crops to ((H-1)//stride+1); we run it on the full pad ->
             # static (grid, grid). Re-mask to the valid feature window and
@@ -117,19 +154,62 @@ class RandomWalkRefiner:
             ).transpose(2, 0, 1)
             cam_small = cam_small * fvalid[None]
 
-            rw = propagate_to_edge(
+            return propagate_to_edge(
                 cam_small, edge, radius=radius, beta=beta, exp_times=exp_times,
                 method=self.walk_method,
             )
-            rw_up = resize_bilinear(
-                rw.transpose(1, 2, 0), (crop, crop), align_corners=False
-            ).transpose(2, 0, 1)
-            rw_up = rw_up / jnp.maximum(jnp.max(rw_up), 1e-12)
-            bg = jnp.full((1, crop, crop), self.bg_threshold, rw_up.dtype)
-            return jnp.concatenate([bg, rw_up], axis=0)
 
-        self._refine_cache[crop] = refine
-        return refine
+        return core
+
+    def _refine_fast_for(self, crop: int):
+        """fast_io batched program: YCbCr canvases + K-channel f16 CAMs in,
+        (B, 21, grid, grid) f16 normalised walk scores out (bg channel 0).
+        The /max normalisation commutes with the host upsample because a
+        bilinear field attains its extrema at the nodes."""
+        if crop in self._refine_fast_cache:
+            return self._refine_fast_cache[crop]
+        from muscle_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+        from muscle_tpu.inference.upload import ycbcr420_unpack_fn
+
+        model = (
+            self.model
+            if getattr(self.model, "crop_size", crop) == crop
+            else self.model.clone(crop_size=crop)
+        )
+        core = self._walk_core(crop, model)
+        grid = crop // self.stride
+        bg_threshold = self.bg_threshold
+        mean = jnp.asarray(IMAGENET_MEAN[0, 0], jnp.float32)
+        std = jnp.asarray(IMAGENET_STD[0, 0], jnp.float32)
+        unpack = ycbcr420_unpack_fn(crop)
+
+        @jax.jit
+        def run(variables, y, c, transposed, cam_vals, cam_idx, sizes):
+            rgb = unpack(y, c, transposed)  # (B, crop, crop, 3) f32 [0, 255]
+
+            def one(rgb_i, size, vals, idx):
+                rows = jnp.arange(crop)[:, None]
+                cols = jnp.arange(crop)[None, :]
+                valid = ((rows < size[0]) & (cols < size[1]))[..., None]
+                x = ((rgb_i / 255.0) - mean) / std * valid
+                # flip the VALID window, zero elsewhere (host parity path
+                # flips arr[:, ::-1] before placing top-left)
+                fcols = jnp.clip(size[1] - 1 - jnp.arange(crop), 0, crop - 1)
+                xf = jnp.take(x, fcols, axis=1) * valid
+                pair = jnp.stack([x, xf])
+                # scatter the K labelled channels into the 20-class stack
+                # (pad entries carry idx 20 -> dropped by the slice)
+                cams = jnp.zeros((21, crop, crop), jnp.float32)
+                cams = cams.at[idx].add(vals.astype(jnp.float32))[:20]
+                rw = core(variables, pair, cams, size)
+                rw = rw / jnp.maximum(jnp.max(rw), 1e-12)
+                bg = jnp.full((1, grid, grid), bg_threshold, rw.dtype)
+                return jnp.concatenate([bg, rw], axis=0).astype(jnp.float16)
+
+            return jax.vmap(one)(rgb, sizes, cam_vals, cam_idx)
+
+        self._refine_fast_cache[crop] = run
+        return run
 
     def _refine_batch_for(self, crop: int):
         # vmap over the jitted single-image program: with the stencil walk
@@ -164,6 +244,8 @@ class RandomWalkRefiner:
     def refine_image(self, pil_image, cam_dict: dict) -> np.ndarray:
         """One image end-to-end. Returns (H, W, 21) float32 scores
         (bg channel = threshold), matching infer_irn.py:79-88."""
+        if self.fast_io:
+            return self.refine_batch([pil_image], [cam_dict])[0]
         w, h = pil_image.size
         crop = self._crop_for(h, w)
         pair, cams, (h, w) = self._host_prep(pil_image, cam_dict, crop)
@@ -182,6 +264,13 @@ class RandomWalkRefiner:
             groups.setdefault(self._crop_for(h, w), []).append(i)
         results: dict[int, np.ndarray] = {}
         for crop, idxs in groups.items():
+            if self.fast_io:
+                for i, out in zip(idxs, self._refine_group_fast(
+                    crop, [pil_images[i] for i in idxs],
+                    [cam_dicts[i] for i in idxs],
+                )):
+                    results[i] = out
+                continue
             b = len(idxs)
             pairs = np.empty((b, 2, crop, crop, 3), np.float32)
             cams = np.empty((b, 20, crop, crop), np.float32)
@@ -199,6 +288,51 @@ class RandomWalkRefiner:
             for j, i in enumerate(idxs):
                 results[i] = outs[j, :, : sizes[j, 0], : sizes[j, 1]].transpose(1, 2, 0)
         return [results[i] for i in range(len(pil_images))]
+
+    def _refine_group_fast(self, crop: int, pil_images, cam_dicts):
+        """fast_io path for one size bucket: pack YCbCr canvases + K-channel
+        f16 CAMs, run the device program, upsample the grid-resolution f16
+        scores to image size on host (PIL bilinear — same half-pixel
+        semantics as the device's align_corners=False resize)."""
+        from PIL import Image
+
+        from muscle_tpu.data.tta import pack_canvas_ycbcr
+
+        b = len(pil_images)
+        k = self.max_classes
+        names = [str(i) for i in range(b)]
+        y, c, sizes, transposed = pack_canvas_ycbcr(
+            pil_images, names, crop, tight=False
+        )
+        cam_vals = np.zeros((b, k, crop, crop), np.float16)
+        cam_idx = np.full((b, k), 20, np.int32)  # pad -> dropped channel
+        for i, cd in enumerate(cam_dicts):
+            for j, (cls, v) in enumerate(sorted(cd.items())[:k]):
+                h, w = sizes[i]
+                cam_vals[i, j, :h, :w] = np.asarray(v, np.float16)
+                cam_idx[i, j] = cls
+        outs = np.asarray(
+            self._refine_fast_for(crop)(
+                self.variables, jnp.asarray(y), jnp.asarray(c),
+                jnp.asarray(transposed), jnp.asarray(cam_vals),
+                jnp.asarray(cam_idx), jnp.asarray(sizes),
+            ),
+            np.float32,
+        )
+        results = []
+        for i in range(b):
+            h, w = sizes[i]
+            chans = [
+                np.asarray(
+                    Image.fromarray(
+                        np.ascontiguousarray(outs[i, ch], np.float32), "F"
+                    ).resize((crop, crop), Image.BILINEAR),
+                    np.float32,
+                )[:h, :w]
+                for ch in range(outs.shape[1])
+            ]
+            results.append(np.stack(chans, axis=-1))
+        return results
 
     def to_png_labels(self, scores_hwc: np.ndarray) -> np.ndarray:
         return np.argmax(scores_hwc, axis=-1).astype(np.uint8)

@@ -356,3 +356,13 @@ def test_random_walk_refiner(tmp_path):
     np.testing.assert_allclose(batched[0], scores, atol=5e-5)
     single2 = refiner.refine_image(img2, cam2)
     np.testing.assert_allclose(batched[1], single2, atol=5e-5)
+
+    # fast_io (ycbcr upload, K-channel f16 CAMs, grid-res f16 download +
+    # host upsample) must stay close to the parity path — bounds the
+    # DEVIATIONS.md fast-IO delta on this synthetic config
+    fast = RandomWalkRefiner(model, variables, crop_size=64, fast_io=True)
+    fast_out = fast.refine_batch([img, img2], [cam_dict, cam2])
+    for a, b in zip(fast_out, batched):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a[..., 0], 0.35, atol=1e-3)
+        assert np.abs(a - b).mean() < 0.02, np.abs(a - b).mean()
