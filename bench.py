@@ -62,11 +62,15 @@ def main() -> None:
         upload_mode="ycbcr420",
     )
 
-    # synthetic VOC-shaped inputs (typical 500x375 / 375x500 mix)
+    # synthetic VOC-shaped inputs (typical 500x375 / 375x500 mix).
+    # Orientation is homogeneous WITHIN a batch, alternating across
+    # batches — matching the CLIs, which sort the inference list by
+    # orientation so the engines' rectangular per-batch canvases skip
+    # the square-canvas padding FLOPs.
     def make_batch(i):
         imgs, names, labels = [], [], []
         for j in range(BATCH):
-            w, h = (500, 375) if (i + j) % 2 == 0 else (375, 500)
+            w, h = (500, 375) if i % 2 == 0 else (375, 500)
             arr = rng.integers(0, 255, size=(h, w, 3), dtype=np.uint8)
             imgs.append(Image.fromarray(arr))
             names.append(f"bench_{i}_{j}")

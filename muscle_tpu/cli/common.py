@@ -67,3 +67,21 @@ def _merge_loaded(init_vars, loaded):
 
 def save_score_dict(path: str, d: dict) -> None:
     np.save(path, d)  # dict of {class_idx: (H, W)} arrays, reference format
+
+
+def sort_by_orientation(names: list[str], voc12_root: str) -> list[str]:
+    """Stable-sort an inference list landscape-first (header-only PIL reads,
+    no pixel decode).  Batches become orientation-homogeneous, so the TTA
+    engines' rectangular per-batch canvases (inference/cam.py
+    _batch_canvas) drop the ~25% of conv FLOPs the square canvas spends on
+    padding.  Pure scheduling — per-image outputs are unchanged."""
+    from PIL import Image
+
+    from muscle_tpu.data.voc12 import get_img_path
+
+    def is_portrait(n: str) -> bool:
+        with Image.open(get_img_path(n, voc12_root)) as im:
+            w, h = im.size
+        return h > w
+
+    return sorted(names, key=is_portrait)

@@ -54,6 +54,10 @@ def main(argv=None) -> None:
     )
 
     names, labels = load_lists(args, args.infer_list)
+    if args.fast and not args.exact:
+        from muscle_tpu.cli.common import sort_by_orientation
+
+        names = sort_by_orientation(names, args.voc12_root)
     if args.out_npy:
         os.makedirs(args.out_npy + "_sgc", exist_ok=True)
         if args.save_cam:

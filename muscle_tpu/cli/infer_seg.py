@@ -52,6 +52,10 @@ def main(argv=None) -> None:
     )
 
     names, _ = load_lists(args, args.infer_list)
+    if args.fast:
+        from muscle_tpu.cli.common import sort_by_orientation
+
+        names = sort_by_orientation(names, args.voc12_root)
     if args.out_seg:
         os.makedirs(args.out_seg, exist_ok=True)
 

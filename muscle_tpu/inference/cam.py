@@ -27,6 +27,19 @@ from muscle_tpu.data.tta import msf_batch, bucket_side
 from muscle_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
 
 
+def _batch_canvas(scale: float, orig_sizes, max_side: int) -> tuple[int, int]:
+    """Rectangular per-batch canvas: the batch's max scaled (h, w) bucketed
+    to multiples of 64 (capped at the square scale bucket).  With
+    orientation-homogeneous batches (the CLIs sort by orientation) this
+    cuts ~25% of the conv FLOPs on VOC-shaped data — exactly, since the
+    dropped region is zero padding outside every image's window.  Rounding
+    matches the device's jnp.round (half-to-even)."""
+    side = bucket_side(scale, max_side)
+    sh = int(np.max(np.round(np.asarray(orig_sizes)[:, 0].astype(np.float64) * scale)))
+    sw = int(np.max(np.round(np.asarray(orig_sizes)[:, 1].astype(np.float64) * scale)))
+    return min(side, -(-sh // 64) * 64), min(side, -(-sw // 64) * 64)
+
+
 class CamTTAEngine:
     """Runs MuSCLe 'cam' TTA over batches of PIL images.
 
@@ -135,7 +148,10 @@ class CamTTAEngine:
 
         def compute(variables, images, sizes, orig_sizes, cam_sum, sgc_sum, logits_sum):
             mode = "cam_lowres" if lowres else "cam"
-            cams, sgcs, _, logits = model.apply(variables, images.astype(cdt), mode=mode)
+            cams, sgcs, _, logits = model.apply(
+                variables, images.astype(cdt), mode=mode,
+                valid_hw=jnp.repeat(sizes, 2, axis=0),
+            )
             cams = cams.astype(jnp.float32)
             sgcs = sgcs.astype(jnp.float32)
             logits = logits.astype(jnp.float32)
@@ -183,10 +199,16 @@ class CamTTAEngine:
             self._scale_fn[key] = jax.jit(compute, donate_argnums=(4, 5, 6))
         return self._scale_fn[key]
 
-    def _device_core(self, canvas: int):
+    def _device_core(self, canvas_h: int, canvas_w: int):
         """device_tta per-scale compute: model -> per-image gather of the
         labelled classes (21 -> K channels BEFORE the expensive resize) ->
         resize/un-flip onto the accumulation grid -> accumulate.
+
+        The canvas may be rectangular: with orientation-homogeneous
+        batches the per-scale canvas buckets to the batch's max scaled
+        (h, w), cutting ~25% of the backbone FLOPs on VOC-shaped data
+        with EXACT parity (zero padding contributes nothing to the
+        windowed maps; BN uses running stats).
 
         accs: dict with 'sgc' (B, acc, acc, K), 'logits' (B, C) and,
         when return_cam, 'cam' (B, acc, acc, K)."""
@@ -199,11 +221,14 @@ class CamTTAEngine:
 
         def compute(variables, images, sizes, orig_sizes, class_idx, accs):
             mode = "cam_lowres" if lowres else "cam"
-            cams, sgcs, _, logits = model.apply(variables, images.astype(cdt), mode=mode)
+            cams, sgcs, _, logits = model.apply(
+                variables, images.astype(cdt), mode=mode,
+                valid_hw=jnp.repeat(sizes, 2, axis=0),
+            )
             cams = cams.astype(jnp.float32)
             sgcs = sgcs.astype(jnp.float32)
             logits = logits.astype(jnp.float32)
-            feat_stride = canvas // cams.shape[1]  # 1 (full-res) or 16
+            feat_stride = canvas_h // cams.shape[1]  # 1 (full-res) or 16
             b = sizes.shape[0]
             cam_pairs = cams.reshape(b, 2, *cams.shape[1:])
             sgc_pairs = sgcs.reshape(b, 2, *sgcs.shape[1:])
@@ -249,14 +274,18 @@ class CamTTAEngine:
 
         return compute
 
-    def _device_fn_for(self, scale: float, batch: int):
+    def _device_fn_for(self, scale: float, batch: int, canvas_hw=None):
         """device_tta per-scale program: uint8 originals -> scaled
-        normalised (orig, flip) pair on device -> gathered device core."""
-        key = (scale, batch)
+        normalised (orig, flip) pair on device -> gathered device core.
+
+        canvas_hw: optional rectangular (ch, cw) canvas (per-batch
+        orientation bucketing); defaults to the square scale bucket."""
+        side = bucket_side(scale, self.max_side)
+        ch, cw = canvas_hw or (side, side)
+        key = (scale, batch, ch, cw)
         if key not in self._device_scale_fn:
-            canvas = bucket_side(scale, self.max_side)
             in_side = self.out_side  # original-size canvas
-            compute = self._device_core(canvas)
+            compute = self._device_core(ch, cw)
             mean = jnp.asarray(IMAGENET_MEAN[0, 0], jnp.float32)
             std = jnp.asarray(IMAGENET_STD[0, 0], jnp.float32)
 
@@ -266,16 +295,16 @@ class CamTTAEngine:
 
                 def make_pair(img_u8, osz, ssz):
                     x = (img_u8.astype(jnp.float32) / 255.0 - mean) / std
-                    wh = dynamic_cubic_resize_weights(osz[0], ssz[0], in_side, canvas)
-                    ww = dynamic_cubic_resize_weights(osz[1], ssz[1], in_side, canvas)
+                    wh = dynamic_cubic_resize_weights(osz[0], ssz[0], in_side, ch)
+                    ww = dynamic_cubic_resize_weights(osz[1], ssz[1], in_side, cw)
                     wwf = dynamic_cubic_resize_weights(
-                        osz[1], ssz[1], in_side, canvas, flip=True
+                        osz[1], ssz[1], in_side, cw, flip=True
                     )
                     a = jnp.einsum("Iy,yxc->Ixc", wh, x)
                     return jnp.einsum("Jx,Ixc->IJc", ww, a), jnp.einsum("Jx,Ixc->IJc", wwf, a)
 
                 orig_v, flip_v = jax.vmap(make_pair)(images_u8, orig_sizes, scaled)
-                images = jnp.stack([orig_v, flip_v], axis=1).reshape(-1, canvas, canvas, 3)
+                images = jnp.stack([orig_v, flip_v], axis=1).reshape(-1, ch, cw, 3)
                 return compute(variables, images, scaled, orig_sizes, class_idx, accs)
 
             self._device_scale_fn[key] = run
@@ -530,7 +559,7 @@ class CamTTAEngine:
         sizes_dev = jnp.asarray(orig_sizes)
         idx_dev = jnp.asarray(class_idx)
         for s in self.scales:
-            fn = self._device_fn_for(s, b)
+            fn = self._device_fn_for(s, b, _batch_canvas(s, orig_sizes, self.max_side))
             accs = fn(self.variables, images_dev, sizes_dev, idx_dev, accs)
         fused = self._fuse_gathered(accs, sizes_dev, jnp.float32(2 * len(self.scales)))
 

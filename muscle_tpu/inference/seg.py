@@ -86,8 +86,9 @@ class SegTTAEngine:
         self.upload_mode = upload_mode
         self._scale_fn = {}
 
-    def _core(self, scale: float, canvas: int):
-        """Shared per-scale compute: scaled images -> accumulated probs."""
+    def _core(self, scale: float, canvas_h: int, canvas_w: int):
+        """Shared per-scale compute: scaled images -> accumulated probs.
+        The canvas may be rectangular (see cam.py _batch_canvas)."""
         model = self.model
         acc_side = self.acc_side
         acc_stride = self.accum_stride
@@ -101,20 +102,23 @@ class SegTTAEngine:
             if lowres:
                 # stride-4 logits -> input-size logits (== reference
                 # seg_map, see class docstring), then softmax
-                stride = canvas // seg.shape[1]
+                stride = canvas_h // seg.shape[1]
 
                 def up(pair, size):
                     wh = (size + stride - 1) // stride
                     box = jnp.concatenate([jnp.zeros(2, jnp.int32), wh])
                     return jax.vmap(
                         lambda m: dynamic_window_resize(
-                            m, box, (canvas, canvas), dst_hw=size, align_corners=True
+                            m, box, (canvas_h, canvas_w), dst_hw=size,
+                            align_corners=True,
                         )
                     )(pair)
 
                 b2 = seg.shape[0] // 2
                 pairs = seg.reshape(b2, 2, *seg.shape[1:])
-                seg = jax.vmap(up)(pairs, sizes).reshape(-1, canvas, canvas, seg.shape[-1])
+                seg = jax.vmap(up)(pairs, sizes).reshape(
+                    -1, canvas_h, canvas_w, seg.shape[-1]
+                )
             probs = jax.nn.softmax(seg, axis=-1)
 
             def per_image(pair, size, orig):
@@ -142,16 +146,17 @@ class SegTTAEngine:
         key = (scale, batch, False)
         if key not in self._scale_fn:
             canvas = bucket_side(scale, self.max_side)
-            compute = self._core(scale, canvas)
+            compute = self._core(scale, canvas, canvas)
             self._scale_fn[key] = jax.jit(compute, donate_argnums=(4,))
         return self._scale_fn[key]
 
-    def _device_fn_for(self, scale: float, batch: int):
-        key = (scale, batch, True)
+    def _device_fn_for(self, scale: float, batch: int, canvas_hw=None):
+        side = bucket_side(scale, self.max_side)
+        ch, cw = canvas_hw or (side, side)
+        key = (scale, batch, ch, cw, True)
         if key not in self._scale_fn:
-            canvas = bucket_side(scale, self.max_side)
             in_side = self.out_side
-            compute = self._core(scale, canvas)
+            compute = self._core(scale, ch, cw)
             mean = jnp.asarray(IMAGENET_MEAN[0, 0], jnp.float32)
             std = jnp.asarray(IMAGENET_STD[0, 0], jnp.float32)
 
@@ -163,10 +168,10 @@ class SegTTAEngine:
 
                 def make_pair(img_u8, osz, ssz):
                     x = (img_u8.astype(jnp.float32) / 255.0 - mean) / std
-                    wh = dynamic_cubic_resize_weights(osz[0], ssz[0], in_side, canvas)
-                    ww = dynamic_cubic_resize_weights(osz[1], ssz[1], in_side, canvas)
+                    wh = dynamic_cubic_resize_weights(osz[0], ssz[0], in_side, ch)
+                    ww = dynamic_cubic_resize_weights(osz[1], ssz[1], in_side, cw)
                     wwf = dynamic_cubic_resize_weights(
-                        osz[1], ssz[1], in_side, canvas, flip=True
+                        osz[1], ssz[1], in_side, cw, flip=True
                     )
                     a = jnp.einsum("Iy,yxc->Ixc", wh, x)
                     return (
@@ -175,7 +180,7 @@ class SegTTAEngine:
                     )
 
                 orig_v, flip_v = jax.vmap(make_pair)(images_u8, orig_sizes, scaled)
-                images = jnp.stack([orig_v, flip_v], axis=1).reshape(-1, canvas, canvas, 3)
+                images = jnp.stack([orig_v, flip_v], axis=1).reshape(-1, ch, cw, 3)
                 return compute(variables, images, scaled, orig_sizes, acc)
 
             self._scale_fn[key] = run
@@ -236,9 +241,13 @@ class SegTTAEngine:
                     pil_images, names, self.out_side, False
                 )
                 images_dev = jnp.asarray(canvas)
+            from muscle_tpu.inference.cam import _batch_canvas
+
             sizes_dev = jnp.asarray(orig_sizes)
             for s in self.scales:
-                acc = self._device_fn_for(s, b)(self.variables, images_dev, sizes_dev, acc)
+                acc = self._device_fn_for(
+                    s, b, _batch_canvas(s, orig_sizes, self.max_side)
+                )(self.variables, images_dev, sizes_dev, acc)
         else:
             assert not defer, "async pipeline requires device_tta"
             orig_sizes = None

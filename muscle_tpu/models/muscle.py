@@ -110,11 +110,15 @@ class MuSCLe(nn.Module):
         cams = jnp.einsum("nhwc,ck->nhwk", p7, kernel)
         return jax.nn.relu(cams)
 
-    def pcm(self, cam: jax.Array, f: jax.Array) -> jax.Array:
+    def pcm(self, cam: jax.Array, f: jax.Array, mask: jax.Array | None = None) -> jax.Array:
         """Pixel Correlation Module (reference :213-223).
 
         cam: (N, h, w, C) raw CAMs at p7 resolution.
         f:   (N, h, w, F) detached fused features.
+        mask: optional (N, h, w, 1) valid-feature mask (padded-canvas TTA
+          paths) — zeroing the normalised embeddings at invalid positions
+          removes pad pixels from both the affinity and its column
+          normalisation, matching the reference's unpadded compute.
         Returns the Spatially-Guided CAM (SGC), same shape as ``cam``.
         """
         n, h, w, _ = f.shape
@@ -122,6 +126,8 @@ class MuSCLe(nn.Module):
         f = self.fuse(f)
         f = f.reshape(n, h * w, -1)
         f = f / (jnp.linalg.norm(f, axis=-1, keepdims=True) + 1e-5)
+        if mask is not None:
+            f = f * mask.reshape(n, h * w, 1)
         # Affinity: relu(f f^T) column-normalised (symmetric pre-norm, so the
         # torch dim=1 sum is a column sum here too).
         aff = jax.nn.relu(jnp.einsum("nid,njd->nij", f, f))
@@ -130,7 +136,32 @@ class MuSCLe(nn.Module):
         sgc = jnp.einsum("nik,nij->njk", cam_flat, aff)
         return sgc.reshape(n, h, w, -1)
 
-    def __call__(self, x: jax.Array, mode: str = "cam", train: bool = False):
+    def _feature_mask(self, p7: jax.Array, hh: int, valid_hw: jax.Array) -> jax.Array:
+        """(N, h7, w7, 1) mask of the valid feature window: ceil(valid/stride)
+        — the p7 size the reference's unpadded forward would produce."""
+        n, h7, w7, _ = p7.shape
+        stride = hh // h7
+        eff = (valid_hw + stride - 1) // stride
+        rows = jnp.arange(h7)[None, :, None]
+        cols = jnp.arange(w7)[None, None, :]
+        m = (rows < eff[:, 0:1, None]) & (cols < eff[:, 1:2, None])
+        return m[..., None].astype(p7.dtype)
+
+    def __call__(
+        self,
+        x: jax.Array,
+        mode: str = "cam",
+        train: bool = False,
+        valid_hw: jax.Array | None = None,
+    ):
+        """valid_hw: optional (N, 2) per-image valid (h, w) inside a padded
+        canvas (batched TTA engines).  The reference runs every image
+        unpadded, so its global reductions — GAP embedding/logits and the
+        PCM affinity normalisation — see image pixels only; with valid_hw
+        those reductions are masked to the valid feature window, removing
+        the canvas-size dependence of the padded fast paths (the remaining
+        padded-canvas deviation is the conv halo near the window edge,
+        DEVIATIONS.md #8)."""
         n, hh, ww, _ = x.shape
         ps = self._pyramid(x, train)
         p1, p2, p3, p4, p5, p6, p7 = ps
@@ -145,8 +176,13 @@ class MuSCLe(nn.Module):
             f2 = jax.nn.relu(resize_to(p3, p7, align_corners=True))
             f3 = jax.nn.relu(p5)
             fs = jax.lax.stop_gradient(jnp.concatenate([f1, f2, f3], axis=-1))
-            sgc = self.pcm(cams, fs)
-            emb = jnp.mean(p7, axis=(1, 2))
+            if valid_hw is not None:
+                m = self._feature_mask(p7, hh, valid_hw)
+                sgc = self.pcm(cams, fs, mask=m)
+                emb = jnp.sum(p7 * m, axis=(1, 2)) / jnp.sum(m, axis=(1, 2))
+            else:
+                sgc = self.pcm(cams, fs)
+                emb = jnp.mean(p7, axis=(1, 2))
             if mode == "cam_lowres":
                 # TTA fast path: skip the model-internal upsample to input
                 # size; the engine resizes the stride-16 maps straight to

@@ -196,14 +196,22 @@ class _StubCamModel:
     zeroing collapse every normalised map and says nothing about resample
     fidelity."""
 
-    def apply(self, variables, x, mode="cam_lowres", **kw):
+    def apply(self, variables, x, mode="cam_lowres", valid_hw=None, **kw):
         b, h, w, _ = x.shape
         g = 16
         pooled = x.reshape(b, h // g, g, w // g, g, 3).mean(axis=(2, 4))
         mix = jnp.asarray(variables["mix"])  # (3, 21)
         maps = jnp.einsum("bhwc,ck->bhwk", pooled, mix)
         sgc = jnp.einsum("bhwc,ck->bhwk", pooled ** 2, mix)
-        emb = maps.mean(axis=(1, 2))
+        if valid_hw is not None:
+            # masked GAP over the valid feature window, like MuSCLe
+            eff = (valid_hw + g - 1) // g
+            rows = jnp.arange(h // g)[None, :, None]
+            cols = jnp.arange(w // g)[None, None, :]
+            m = ((rows < eff[:, 0:1, None]) & (cols < eff[:, 1:2, None]))[..., None]
+            emb = (maps * m).sum(axis=(1, 2)) / m.sum(axis=(1, 2))
+        else:
+            emb = maps.mean(axis=(1, 2))
         return maps, sgc, emb, emb
 
 
@@ -254,6 +262,60 @@ def test_cam_device_tta_tight_upload_bitwise(enc_model):
             np.testing.assert_array_equal(x["sgc"][c], y["sgc"][c])
 
 
+def test_cam_device_tta_rect_canvas_matches_square(monkeypatch):
+    """Orientation-homogeneous batches get a rectangular per-scale canvas
+    (batch-max scaled h x w, inference/cam.py _batch_canvas) — must match
+    the square-canvas device path to float tolerance, since the dropped
+    region is zero padding outside every image's window."""
+    import muscle_tpu.inference.cam as cam_mod
+    from muscle_tpu.data.tta import bucket_side
+    from muscle_tpu.inference.cam import _batch_canvas
+
+    sizes = [(100, 160), (90, 150)]  # landscape-only
+    # the rectangular bucket actually differs from the square one here
+    assert _batch_canvas(1.0, np.array(sizes), 160) == (128, 192)
+    rng = np.random.default_rng(15)
+    model = _StubCamModel()
+    variables = {"mix": (0.1 + np.abs(rng.normal(size=(3, 21)))).astype(np.float32)}
+    imgs = _imgs(sizes, seed=15)
+    labels = [np.zeros(20, np.float32) for _ in sizes]
+    labels[0][2] = 1
+    labels[1][6] = 1
+    kw = dict(scales=(0.5, 1.0), out_side=192, max_side=160, device_tta=True)
+    rect = CamTTAEngine(model, variables, **kw).run_batch(imgs, ["a", "b"], labels)
+    monkeypatch.setattr(
+        cam_mod, "_batch_canvas",
+        lambda s, o, m: (bucket_side(s, m), bucket_side(s, m)),
+    )
+    square = CamTTAEngine(model, variables, **kw).run_batch(imgs, ["a", "b"], labels)
+    for x, y, lab in zip(square, rect, labels):
+        np.testing.assert_allclose(x["score"], y["score"], atol=1e-5)
+        for c in np.nonzero(lab)[0]:
+            np.testing.assert_allclose(
+                x["sgc"][c].astype(np.float32), y["sgc"][c].astype(np.float32),
+                atol=1e-4,
+            )
+
+
+def test_seg_device_tta_rect_canvas_matches_host():
+    model = MuSCLe(
+        backbone_name="efficientnet-b1", mode="dec", bifpn_layers=1, last_pooling=True
+    )
+    variables = model.init(
+        {"params": jax.random.key(7)}, jnp.zeros((1, 32, 32, 3)), mode="seg"
+    )
+    imgs = _imgs([(100, 160), (90, 150)], seed=16)
+    kw = dict(scales=(0.5, 1.0), out_side=192, max_side=160)
+    host = SegTTAEngine(model, variables, device_tta=False, **kw).run_batch(
+        imgs, ["a", "b"]
+    )
+    dev = SegTTAEngine(model, variables, device_tta=True, **kw).run_batch(
+        imgs, ["a", "b"]
+    )
+    for x, y in zip(host, dev):
+        np.testing.assert_allclose(x["probs"], y["probs"], atol=5e-3)
+
+
 def test_pack_canvas_ycbcr_roundtrip():
     """Host 4:2:0 pack -> device unpack must reconstruct smooth images
     closely (chroma is half-res; Y is exact up to the BT.601 roundtrip).
@@ -302,9 +364,11 @@ def test_cam_upload_ycbcr_close_to_rgb():
         imgs, ["a", "b"], labels
     )
     for f, q, lab in zip(base, ycc, labels):
-        # the stub's logits are raw image means, far more chroma-sensitive
-        # than a trained classifier head; 0.01 on the sigmoid scale
-        np.testing.assert_allclose(f["score"], q["score"], atol=1e-2)
+        # the stub's logits are raw pixel means over the valid window —
+        # maximally chroma-sensitive, unlike a trained classifier head
+        # (gate 1 bounds real score deltas at 1e-3); 0.02 on the sigmoid
+        # scale for uint8-noise inputs
+        np.testing.assert_allclose(f["score"], q["score"], atol=2e-2)
         for cidx in np.nonzero(lab)[0]:
             a = f["sgc"][cidx].astype(np.float32)
             b = q["sgc"][cidx].astype(np.float32)
