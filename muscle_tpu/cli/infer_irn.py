@@ -30,6 +30,10 @@ def main(argv=None) -> None:
     p.add_argument("--walk_method", default="stencil",
                    choices=["stencil", "vector", "banded", "power"], type=str)
     p.add_argument("--batch_size", default=8, type=int)
+    p.add_argument("--bf16", default=0, type=int,
+                   help="run the edge model in bfloat16 (MXU fast path; the "
+                        "walk stays f32) — bounded deviation, see "
+                        "tests/test_inference.py")
     p.add_argument("--fast", default=1, type=int,
                    help="1 = production IO mode (ycbcr420 image upload, "
                         "K-channel f16 CAM upload, grid-res f16 download + "
@@ -39,6 +43,7 @@ def main(argv=None) -> None:
     args = p.parse_args(argv)
 
     import jax
+    import jax.numpy as jnp
 
     from muscle_tpu.convert import convert_irn_state_dict, load_torch_checkpoint
     from muscle_tpu.inference import RandomWalkRefiner
@@ -52,6 +57,7 @@ def main(argv=None) -> None:
         model, variables, beta=args.beta, exp_times=args.exp_times,
         bg_threshold=args.sem_seg_bg_thres, walk_method=args.walk_method,
         fast_io=bool(args.fast),
+        compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
     )
 
     names, _ = load_lists(args, args.infer_list)

@@ -63,6 +63,7 @@ class RandomWalkRefiner:
         bucket: int = 128,
         fast_io: bool = False,
         max_classes: int = 4,
+        compute_dtype=jnp.float32,
     ):
         self.model = irn_model
         self.variables = variables
@@ -77,6 +78,10 @@ class RandomWalkRefiner:
         self.walk_method = walk_method
         self.fast_io = fast_io
         self.max_classes = max_classes
+        # bf16 runs the edge model on the MXU fast path; the walk itself
+        # stays f32 (edge maps feed (1-e)^beta, which amplifies low-bit
+        # noise).  Deviation bounded by tests/test_inference.py.
+        self.compute_dtype = compute_dtype
         self._refine_cache = {}
         self._refine_batch_cache = {}
         self._refine_fast_cache = {}
@@ -87,16 +92,21 @@ class RandomWalkRefiner:
         side = max(h, w, self.bucket)
         return min(self.crop_size, -(-side // self.bucket) * self.bucket)
 
+    def _model_for(self, crop: int):
+        """EdgeDisplacement pads its input to its own crop_size internally —
+        clone the module per bucket / compute dtype (same variables)."""
+        m = self.model
+        if (
+            getattr(m, "crop_size", crop) != crop
+            or getattr(m, "dtype", self.compute_dtype) != self.compute_dtype
+        ):
+            m = m.clone(crop_size=crop, dtype=self.compute_dtype)
+        return m
+
     def _refine_for(self, crop: int):
         if crop in self._refine_cache:
             return self._refine_cache[crop]
-        # EdgeDisplacement pads its input to its own crop_size internally —
-        # clone the module per bucket (same variables, smaller static pad)
-        model = (
-            self.model
-            if getattr(self.model, "crop_size", crop) == crop
-            else self.model.clone(crop_size=crop)
-        )
+        model = self._model_for(crop)
         radius = self.radius
         beta, exp_times = self.beta, self.exp_times
         stride = self.stride
@@ -134,8 +144,11 @@ class RandomWalkRefiner:
         stride = self.stride
         grid = crop // stride
 
+        cdt = self.compute_dtype
+
         def core(variables, img_pair, cams, size):
-            edge, _ = model.apply(variables, img_pair, valid_hw=size)
+            edge, _ = model.apply(variables, img_pair.astype(cdt), valid_hw=size)
+            edge = edge.astype(jnp.float32)
             # model crops to ((H-1)//stride+1); we run it on the full pad ->
             # static (grid, grid). Re-mask to the valid feature window and
             # set pad edges to 1 (walls).
@@ -171,11 +184,7 @@ class RandomWalkRefiner:
         from muscle_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
         from muscle_tpu.inference.upload import ycbcr420_unpack_fn
 
-        model = (
-            self.model
-            if getattr(self.model, "crop_size", crop) == crop
-            else self.model.clone(crop_size=crop)
-        )
+        model = self._model_for(crop)
         core = self._walk_core(crop, model)
         grid = crop // self.stride
         bg_threshold = self.bg_threshold

@@ -18,11 +18,11 @@ CIRCULAR shifts reproduce zero-fill shifts bit-for-bit in contribution.
 
 Per step, for x <- x @ T (T the column-normalised affinity):
     x'[p] = ( x[p] + sum_d  x[p-d] * v_d[p-d]  +  x[p+d] * v_d[p] ) / col[p]
-          = ( x[p] + sum_d  roll(x, +d)[p] * roll(v_d, +d)[p]
+          = ( x[p] + sum_d  roll(x * v_d, +d)[p]
                    + roll(x, -d)[p] * v_d[p] ) * inv[p]
-with roll(v_d, +d) precomputed outside the loop.  Lane (column) rolls are
-the expensive permutes, so they are hoisted: 9 lane rolls per step (one
-per distinct dx in {-4..4}), then cheap sublane rolls per direction.
+— two rolls and two multiply-adds per direction, with the iterate blocked
+over class chunks (pl.GridSpec) so live VMEM stays ~2 blocks + the
+direction maps (see the kernel comment for the rejected alternatives).
 
 Reference being reimplemented: src/indexing.py:116-150 (transition-matrix
 random walk), redesigned as a spatial stencil.
@@ -47,17 +47,21 @@ def _roll_cols(a: jax.Array, dx: int) -> jax.Array:
 
 
 def _make_kernel(dirs: tuple[tuple[int, int], ...], steps: int):
-    def kernel(x_ref, vs_ref, vss_ref, inv_ref, out_ref):
+    def kernel(x_ref, vs_ref, inv_ref, out_ref):
         inv = inv_ref[:]
 
         def body(_, x):
             acc = x
-            # live VMEM stays ~2 iterate-blocks + the direction maps:
-            # hoisting shared lane rolls would cost 9 extra live copies of
-            # the iterate and blows the 16 MB scoped-VMEM limit
+            # live VMEM stays ~2 iterate-blocks + the direction maps.
+            # roll(x*v, +d) == roll(x, +d) * roll(v, +d) at the same
+            # roll/mul count, so no shifted copy of vs is ever needed;
+            # hoisting shared lane rolls would likewise cost 9 extra live
+            # copies of the iterate — both blow the 16 MB scoped-VMEM
+            # limit (vmapped batches hit it first).
             for d, (dy, dx) in enumerate(dirs):
-                acc = acc + _roll_rows(_roll_cols(x, dx), dy) * vss_ref[d]
-                acc = acc + _roll_rows(_roll_cols(x, -dx), -dy) * vs_ref[d]
+                v = vs_ref[d]
+                acc = acc + _roll_rows(_roll_cols(x * v, dx), dy)
+                acc = acc + _roll_rows(_roll_cols(x, -dx), -dy) * v
             return acc * inv
 
         out_ref[:] = jax.lax.fori_loop(0, steps, body, x_ref[:])
@@ -90,15 +94,11 @@ def stencil_walk_pallas(
     """
     c, hp, wp = x0.shape
     # grid over class chunks: classes walk independently (x @ T is per-row),
-    # so blocking C keeps the live iterate small while vs/vss stay resident
+    # so blocking C keeps the live iterate small while vs stays resident
     bc = c if c <= _BLOCK_C else _BLOCK_C
     cp = (c + bc - 1) // bc * bc
     if cp != c:
         x0 = jnp.pad(x0, ((0, cp - c), (0, 0), (0, 0)))
-    # v_d shifted by +d once, outside the step loop
-    vss = jnp.stack(
-        [_roll_rows(_roll_cols(vs[d], dx), dy) for d, (dy, dx) in enumerate(dirs)]
-    )
     out = pl.pallas_call(
         _make_kernel(dirs, steps),
         grid=(cp // bc,),
@@ -107,13 +107,12 @@ def stencil_walk_pallas(
             pl.BlockSpec((bc, hp, wp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (bc, hp, wp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
-    )(x0, vs, vss, inv)
+    )(x0, vs, inv)
     return out[:c]
 
 
@@ -122,6 +121,6 @@ _BLOCK_C = 4
 
 def vmem_fits(c: int, n_dirs: int, hp: int, wp: int, budget: int = 12_000_000) -> bool:
     """Conservative VMEM check for the class-blocked kernel: two iterate
-    blocks + roll temporaries + vs + vss + inv."""
+    blocks + roll temporaries + vs + inv."""
     bc = min(c, _BLOCK_C)
-    return (5 * bc + 2 * n_dirs + 3) * hp * wp * 4 <= budget
+    return (5 * bc + n_dirs + 3) * hp * wp * 4 <= budget

@@ -430,3 +430,10 @@ def test_random_walk_refiner(tmp_path):
         assert a.shape == b.shape
         np.testing.assert_allclose(a[..., 0], 0.35, atol=1e-3)
         assert np.abs(a - b).mean() < 0.02, np.abs(a - b).mean()
+
+    # bf16 edge-model compute (walk stays f32): bounded deviation vs f32
+    b16 = RandomWalkRefiner(
+        model, variables, crop_size=64, compute_dtype=jnp.bfloat16
+    )
+    out16 = b16.refine_image(img, cam_dict)
+    assert np.abs(out16 - scores).mean() < 0.02, np.abs(out16 - scores).mean()
