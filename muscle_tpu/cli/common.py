@@ -85,3 +85,28 @@ def sort_by_orientation(names: list[str], voc12_root: str) -> list[str]:
         return h > w
 
     return sorted(names, key=is_portrait)
+
+
+def prefetch_chunks(items: list, batch_size: int, load_fn, depth: int = 2):
+    """Yield (chunk, load_fn(chunk)) over consecutive chunks, loading ahead
+    in one worker thread.  JPEG decode + canvas packing would otherwise sit
+    on the dispatch critical path (~50 ms/batch on one core); the main
+    thread spends most of its time blocked on device IO (GIL released), so
+    a single prefetch thread hides host prep even on a 1-vCPU host."""
+    import collections
+    import itertools
+    from concurrent.futures import ThreadPoolExecutor
+
+    chunks = [items[i : i + batch_size] for i in range(0, len(items), batch_size)]
+    with ThreadPoolExecutor(1) as ex:
+        pending = collections.deque()
+        it = iter(chunks)
+        for c in itertools.islice(it, depth):
+            pending.append((c, ex.submit(load_fn, c)))
+        for nxt in it:
+            c, f = pending.popleft()
+            yield c, f.result()
+            pending.append((nxt, ex.submit(load_fn, nxt)))
+        while pending:
+            c, f = pending.popleft()
+            yield c, f.result()

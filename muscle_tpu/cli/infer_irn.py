@@ -65,9 +65,9 @@ def main(argv=None) -> None:
         os.makedirs(args.sem_seg_out_dir, exist_ok=True)
     os.makedirs(args.sem_seg_out_dir + "_png", exist_ok=True)
 
-    bs = max(1, args.batch_size)
-    for start in range(0, len(names), bs):
-        chunk = names[start : start + bs]
+    from muscle_tpu.cli.common import prefetch_chunks
+
+    def load(chunk):
         imgs, dicts = [], []
         for name in chunk:
             imgs.append(Image.open(get_img_path(name, args.voc12_root)).convert("RGB"))
@@ -76,6 +76,12 @@ def main(argv=None) -> None:
                     os.path.join(args.cam_dir, name + ".npy"), allow_pickle=True
                 ).item()
             )
+        return imgs, dicts
+
+    done = 0
+    for chunk, (imgs, dicts) in prefetch_chunks(
+        names, max(1, args.batch_size), load
+    ):
         for name, scores in zip(chunk, refiner.refine_batch(imgs, dicts)):
             if args.soft_output:
                 np.save(
@@ -87,7 +93,8 @@ def main(argv=None) -> None:
                     os.path.join(args.sem_seg_out_dir + "_png", name + ".png"),
                     refiner.to_png_labels(scores),
                 )
-        print(f"{min(start + bs, len(names))}/{len(names)}")
+        done += len(chunk)
+        print(f"{done}/{len(names)}")
 
 
 if __name__ == "__main__":

@@ -70,11 +70,17 @@ def main(argv=None) -> None:
                 if args.save_cam:
                     np.save(os.path.join(args.out_npy, rec["name"] + ".npy"), rec["cam"])
 
-    bs = args.batch_size
+    from muscle_tpu.cli.common import prefetch_chunks
+
+    def load(chunk):
+        return [
+            Image.open(get_img_path(n, args.voc12_root)).convert("RGB")
+            for n in chunk
+        ]
+
+    done = 0
     pending = None  # 2-deep pipeline: batch n's download/save overlaps n+1
-    for i in range(0, len(names), bs):
-        chunk = names[i : i + bs]
-        imgs = [Image.open(get_img_path(n, args.voc12_root)).convert("RGB") for n in chunk]
+    for chunk, imgs in prefetch_chunks(names, args.batch_size, load):
         labs = [labels[n] for n in chunk]
         if args.exact:
             save(engine.run_batch_exact(imgs, chunk, labs))
@@ -83,7 +89,8 @@ def main(argv=None) -> None:
             if pending is not None:
                 save(pending())
             pending = nxt
-        print(f"{min(i + bs, len(names))}/{len(names)}")
+        done += len(chunk)
+        print(f"{done}/{len(names)}")
     if pending is not None:
         save(pending())
 

@@ -76,17 +76,24 @@ def main(argv=None) -> None:
                 pred = np.argmax(probs, axis=-1).astype(np.uint8)
                 Image.fromarray(pred).save(os.path.join(args.out_seg, rec["name"] + ".png"))
 
-    bs = args.batch_size
-    pending = None  # 2-deep pipeline: batch n's download/CRF/PNG overlaps n+1
-    for i in range(0, len(names), bs):
-        chunk = names[i : i + bs]
-        imgs = [Image.open(get_img_path(n, args.voc12_root)).convert("RGB") for n in chunk]
+    from muscle_tpu.cli.common import prefetch_chunks
+
+    def load(chunk):
+        imgs = [
+            Image.open(get_img_path(n, args.voc12_root)).convert("RGB")
+            for n in chunk
+        ]
         gates = None
         if args.cls_dir:
             gates = [
                 np.load(os.path.join(args.cls_dir, n + ".npy"), allow_pickle=True).squeeze()
                 for n in chunk
             ]
+        return imgs, gates
+
+    done = 0
+    pending = None  # 2-deep pipeline: batch n's download/CRF/PNG overlaps n+1
+    for chunk, (imgs, gates) in prefetch_chunks(names, args.batch_size, load):
         if args.fast:
             nxt = (imgs, engine.run_batch_async(imgs, chunk, gates))
             if pending is not None:
@@ -94,7 +101,8 @@ def main(argv=None) -> None:
             pending = nxt
         else:
             postprocess(imgs, engine.run_batch(imgs, chunk, gates))
-        print(f"{min(i + bs, len(names))}/{len(names)}")
+        done += len(chunk)
+        print(f"{done}/{len(names)}")
     if pending is not None:
         postprocess(pending[0], pending[1]())
 
