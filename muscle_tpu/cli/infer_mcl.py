@@ -36,6 +36,8 @@ def main(argv=None) -> None:
     add_voc_args(p)
     args = p.parse_args(argv)
 
+    import jax
+
     from muscle_tpu.inference import CamTTAEngine
     from muscle_tpu.models import MuSCLe
 
@@ -47,9 +49,15 @@ def main(argv=None) -> None:
     scales = tuple(float(s) for s in args.scales.split(","))
     fast = dict(accum_stride=4, download_dtype="uint8", tight_upload=True,
                 upload_mode="ycbcr420")
+    mesh = None
+    if jax.local_device_count() > 1:
+        # shard the TTA batch over all local chips (pure DP; see engine doc)
+        from muscle_tpu.parallel import make_data_mesh_for_batch
+
+        mesh = make_data_mesh_for_batch(args.batch_size)
     engine = CamTTAEngine(
         model, variables, scales=scales, num_classes=args.num_classes,
-        return_cam=bool(args.save_cam),
+        return_cam=bool(args.save_cam), mesh=mesh,
         **(fast if args.fast and not args.exact else {}),
     )
 

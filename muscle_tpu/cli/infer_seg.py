@@ -33,6 +33,7 @@ def main(argv=None) -> None:
     add_voc_args(p)
     args = p.parse_args(argv)
 
+    import jax
     import jax.numpy as jnp
 
     from muscle_tpu.inference import SegTTAEngine
@@ -47,8 +48,14 @@ def main(argv=None) -> None:
     variables = load_model_variables(args.weights, model, (1, 64, 64, 3), "seg")
     fast = dict(accum_stride=4, download_dtype="float16", tight_upload=True,
                 upload_mode="ycbcr420")
+    mesh = None
+    if jax.local_device_count() > 1:
+        from muscle_tpu.parallel import make_data_mesh_for_batch
+
+        mesh = make_data_mesh_for_batch(args.batch_size)
     engine = SegTTAEngine(
-        model, variables, num_classes=args.num_classes, **(fast if args.fast else {})
+        model, variables, num_classes=args.num_classes, mesh=mesh,
+        **(fast if args.fast else {})
     )
 
     names, _ = load_lists(args, args.infer_list)

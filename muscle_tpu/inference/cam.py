@@ -90,6 +90,12 @@ class CamTTAEngine:
         RGB decode interpolated from; deviation bounded by
         tests/test_inference.py (see inference/upload.py).  Composes with
         tight_upload.
+      mesh: optional jax.sharding.Mesh — shard the batch over the mesh's
+        'data' axis (pure data parallelism: images are independent, so a
+        v5e-8 slice runs 8x the stream under ONE engine/process; weights
+        are replicated once).  Batches not divisible by the axis size
+        fall back to the unsharded path.  Outputs are identical
+        (tests/test_sharding.py).
     """
 
     def __init__(
@@ -109,9 +115,17 @@ class CamTTAEngine:
         download_dtype: str = "float16",
         tight_upload: bool = False,
         upload_mode: str = "rgb",
+        mesh=None,
     ):
         self.model = model
         self.variables = variables
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._batch_sharding = NamedSharding(mesh, P("data"))
+            # replicate the weights across the mesh once
+            self.variables = jax.device_put(variables, NamedSharding(mesh, P()))
         self.scales = tuple(scales)
         self.num_classes = num_classes
         self.out_side = out_side
@@ -273,6 +287,17 @@ class CamTTAEngine:
             return out
 
         return compute
+
+    def _put(self, x, b: int):
+        """Place a batch-major host array on device; under a mesh, shard it
+        over the 'data' axis (replicate when the batch doesn't divide)."""
+        if self.mesh is None:
+            return jnp.asarray(x)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if b % self.mesh.shape["data"] == 0:
+            return jax.device_put(np.asarray(x), self._batch_sharding)
+        return jax.device_put(np.asarray(x), NamedSharding(self.mesh, P()))
 
     def _device_fn_for(self, scale: float, batch: int, canvas_hw=None):
         """device_tta per-scale program: uint8 originals -> scaled
@@ -525,20 +550,20 @@ class CamTTAEngine:
                 pil_images, names, self.out_side, self.tight_upload
             )
             images_dev = ycbcr420_unpack_fn(self.out_side)(
-                jnp.asarray(y), jnp.asarray(c), jnp.asarray(transposed)
+                self._put(y, b), self._put(c, b), self._put(transposed, b)
             )
         elif self.tight_upload:
             canvas, orig_sizes, transposed = pack_canvas(
                 pil_images, names, self.out_side, True
             )
             images_dev = square_unpack_fn(self.out_side)(
-                jnp.asarray(canvas), jnp.asarray(transposed)
+                self._put(canvas, b), self._put(transposed, b)
             )
         else:
             canvas, orig_sizes, _ = pack_canvas(
                 pil_images, names, self.out_side, False
             )
-            images_dev = jnp.asarray(canvas)
+            images_dev = self._put(canvas, b)
 
         k = self.max_classes
         class_idx = np.zeros((b, k), np.int32)
@@ -550,14 +575,25 @@ class CamTTAEngine:
 
         acc = self.acc_side
         stride = self.accum_stride
-        accs = {
-            "sgc": jnp.zeros((b, acc, acc, k), jnp.float32),
-            "logits": jnp.zeros((b, self.num_classes), jnp.float32),
-        }
-        if self.return_cam:
-            accs["cam"] = jnp.zeros((b, acc, acc, k), jnp.float32)
-        sizes_dev = jnp.asarray(orig_sizes)
-        idx_dev = jnp.asarray(class_idx)
+        # zeros are created on device (jnp) when unsharded — _put would
+        # UPLOAD host zeros through the link; under a mesh they are placed
+        # host-side once with the batch sharding
+        if self.mesh is None:
+            accs = {
+                "sgc": jnp.zeros((b, acc, acc, k), jnp.float32),
+                "logits": jnp.zeros((b, self.num_classes), jnp.float32),
+            }
+            if self.return_cam:
+                accs["cam"] = jnp.zeros((b, acc, acc, k), jnp.float32)
+        else:
+            accs = {
+                "sgc": self._put(np.zeros((b, acc, acc, k), np.float32), b),
+                "logits": self._put(np.zeros((b, self.num_classes), np.float32), b),
+            }
+            if self.return_cam:
+                accs["cam"] = self._put(np.zeros((b, acc, acc, k), np.float32), b)
+        sizes_dev = self._put(orig_sizes, b)
+        idx_dev = self._put(class_idx, b)
         for s in self.scales:
             fn = self._device_fn_for(s, b, _batch_canvas(s, orig_sizes, self.max_side))
             accs = fn(self.variables, images_dev, sizes_dev, idx_dev, accs)

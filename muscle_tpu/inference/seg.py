@@ -44,6 +44,7 @@ class SegTTAEngine:
     upload_mode: 'rgb' (parity) or 'ycbcr420' — chroma-subsampled upload,
     see CamTTAEngine / inference/upload.py (deviation bounded by
     tests/test_inference.py).
+    mesh: shard the batch over the mesh's 'data' axis (see CamTTAEngine).
     """
 
     def __init__(
@@ -61,9 +62,16 @@ class SegTTAEngine:
         download_dtype: str = "float32",
         tight_upload: bool = False,
         upload_mode: str = "rgb",
+        mesh=None,
     ):
         self.model = model
         self.variables = variables
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._batch_sharding = NamedSharding(mesh, P("data"))
+            self.variables = jax.device_put(variables, NamedSharding(mesh, P()))
         self.scales = tuple(scales)
         self.num_classes = num_classes
         self.out_side = out_side
@@ -186,6 +194,16 @@ class SegTTAEngine:
             self._scale_fn[key] = run
         return self._scale_fn[key]
 
+    def _put(self, x, b: int):
+        """See CamTTAEngine._put."""
+        if self.mesh is None:
+            return jnp.asarray(x)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if b % self.mesh.shape["data"] == 0:
+            return jax.device_put(np.asarray(x), self._batch_sharding)
+        return jax.device_put(np.asarray(x), NamedSharding(self.mesh, P()))
+
     @functools.cached_property
     def _finish(self):
         n = jnp.float32(2 * len(self.scales))
@@ -227,23 +245,31 @@ class SegTTAEngine:
                     pil_images, names, self.out_side, self.tight_upload
                 )
                 images_dev = ycbcr420_unpack_fn(self.out_side)(
-                    jnp.asarray(y), jnp.asarray(c), jnp.asarray(transposed)
+                    self._put(y, b), self._put(c, b), self._put(transposed, b)
                 )
             elif self.tight_upload:
                 canvas, orig_sizes, transposed = pack_canvas(
                     pil_images, names, self.out_side, True
                 )
                 images_dev = square_unpack_fn(self.out_side)(
-                    jnp.asarray(canvas), jnp.asarray(transposed)
+                    self._put(canvas, b), self._put(transposed, b)
                 )
             else:
                 canvas, orig_sizes, _ = pack_canvas(
                     pil_images, names, self.out_side, False
                 )
-                images_dev = jnp.asarray(canvas)
+                images_dev = self._put(canvas, b)
             from muscle_tpu.inference.cam import _batch_canvas
 
-            sizes_dev = jnp.asarray(orig_sizes)
+            if self.mesh is not None:
+                acc = self._put(
+                    np.zeros(
+                        (b, self.acc_side, self.acc_side, self.num_classes),
+                        np.float32,
+                    ),
+                    b,
+                )
+            sizes_dev = self._put(orig_sizes, b)
             for s in self.scales:
                 acc = self._device_fn_for(
                     s, b, _batch_canvas(s, orig_sizes, self.max_side)

@@ -73,6 +73,78 @@ def test_sharded_random_walk_matches_single_device():
     np.testing.assert_allclose(sharded, base, rtol=2e-3, atol=1e-5)
 
 
+def test_cam_engine_mesh_sharded_matches_single():
+    """CamTTAEngine(mesh=...) shards the TTA batch over the 'data' axis
+    (the slice-scaling claim behind bench.py's x8 extrapolation) — outputs
+    must match the single-device engine, images being independent."""
+    from PIL import Image
+
+    from muscle_tpu.inference import CamTTAEngine
+    from muscle_tpu.models import MuSCLe
+
+    model = MuSCLe(backbone_name="efficientnet-b1", mode="enc", last_pooling=False)
+    variables = model.init(
+        {"params": jax.random.key(3)}, jnp.zeros((1, 32, 32, 3)), mode="cam"
+    )
+    rng = np.random.default_rng(21)
+    imgs = [
+        Image.fromarray(rng.integers(0, 255, (48 + 2 * i, 40, 3), dtype=np.uint8))
+        for i in range(8)
+    ]
+    names = [f"i{i}" for i in range(8)]
+    labels = []
+    for i in range(8):
+        lab = np.zeros(20, np.float32)
+        lab[i % 20] = 1.0
+        labels.append(lab)
+    kw = dict(scales=(0.5, 1.0), out_side=64, max_side=62, device_tta=True)
+    base = CamTTAEngine(model, variables, **kw).run_batch(imgs, names, labels)
+    sharded = CamTTAEngine(model, variables, mesh=make_mesh(), **kw).run_batch(
+        imgs, names, labels
+    )
+    for x, y, lab in zip(base, sharded, labels):
+        np.testing.assert_allclose(x["score"], y["score"], atol=1e-5)
+        for c in np.nonzero(lab)[0]:
+            np.testing.assert_allclose(
+                x["sgc"][c].astype(np.float32), y["sgc"][c].astype(np.float32),
+                atol=1e-4,
+            )
+
+    # non-divisible batch falls back to replicated placement, same outputs
+    part = CamTTAEngine(model, variables, mesh=make_mesh(), **kw).run_batch(
+        imgs[:3], names[:3], labels[:3]
+    )
+    for x, y, lab in zip(base[:3], part, labels[:3]):
+        np.testing.assert_allclose(x["score"], y["score"], atol=1e-5)
+
+
+def test_seg_engine_mesh_sharded_matches_single():
+    from PIL import Image
+
+    from muscle_tpu.inference import SegTTAEngine
+    from muscle_tpu.models import MuSCLe
+
+    model = MuSCLe(
+        backbone_name="efficientnet-b1", mode="dec", bifpn_layers=1, last_pooling=True
+    )
+    variables = model.init(
+        {"params": jax.random.key(4)}, jnp.zeros((1, 32, 32, 3)), mode="seg"
+    )
+    rng = np.random.default_rng(22)
+    imgs = [
+        Image.fromarray(rng.integers(0, 255, (50, 40, 3), dtype=np.uint8))
+        for _ in range(8)
+    ]
+    names = [f"i{i}" for i in range(8)]
+    kw = dict(scales=(0.5, 1.0), out_side=64, max_side=56, device_tta=True)
+    base = SegTTAEngine(model, variables, **kw).run_batch(imgs, names)
+    sharded = SegTTAEngine(model, variables, mesh=make_mesh(), **kw).run_batch(
+        imgs, names
+    )
+    for x, y in zip(base, sharded):
+        np.testing.assert_allclose(x["probs"], y["probs"], atol=1e-5)
+
+
 @pytest.mark.slow
 def test_dryrun_multichip_trains():
     import __graft_entry__ as g
