@@ -196,6 +196,67 @@ def dynamic_cubic_resize_weights(
     return w / jnp.where(denom == 0.0, 1.0, denom)
 
 
+def dynamic_bilinear_resize_weights(
+    src_len: jax.Array,
+    dst_len: jax.Array,
+    src_cap: int,
+    dst_cap: int,
+    align_corners: bool,
+    flip: bool = False,
+) -> jax.Array:
+    """(dst_cap, src_cap) bilinear interpolation weights for a dynamic
+    src_len -> dst_len resize (matrix form of the two conventions used by
+    the reference: torch align_corners=True and cv2/PIL half-pixel).
+    Boundary renormalisation == coordinate clamping for the width-1
+    bilinear kernel.  ``flip=True`` indexes the OUTPUT right-to-left
+    (the TTA un-flip fused in)."""
+    src = src_len.astype(jnp.float32)
+    dst = dst_len.astype(jnp.float32)
+    i = jax.lax.broadcasted_iota(jnp.float32, (dst_cap, src_cap), 0)
+    if flip:
+        i = dst - 1.0 - i
+    y = jax.lax.broadcasted_iota(jnp.float32, (dst_cap, src_cap), 1)
+    if align_corners:
+        center = i * (src - 1.0) / jnp.maximum(dst - 1.0, 1.0)
+    else:
+        center = (i + 0.5) * src / dst - 0.5
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(y - center))
+    w = jnp.where(y < src, w, 0.0)
+    w = jnp.where(
+        jax.lax.broadcasted_iota(jnp.float32, (dst_cap, src_cap), 0) < dst,
+        w, 0.0,
+    )
+    denom = jnp.sum(w, axis=1, keepdims=True)
+    return w / jnp.where(denom == 0.0, 1.0, denom)
+
+
+def composed_cam_resize_weights(
+    map_len: jax.Array,
+    mid_len: jax.Array,
+    dst_len: jax.Array,
+    map_cap: int,
+    mid_cap: int,
+    dst_cap: int,
+    flip: bool = False,
+) -> jax.Array:
+    """The reference CAM resample chain as ONE (dst_cap, map_cap) matrix.
+
+    The reference resizes stride-16 maps in two stages: model-internal
+    bilinear to the input size with align_corners=True (src/MuSCLe.py
+    :256-257), then cv2 half-pixel bilinear to the original image size
+    (infer_mcl.py:130-135).  Both stages are linear maps, so their
+    composition is exact — the TTA fast paths apply it at single-resize
+    cost instead of approximating with one resize (the formerly dominant
+    fast-path deviation, DEVIATIONS.md #6)."""
+    w1 = dynamic_bilinear_resize_weights(
+        map_len, mid_len, map_cap, mid_cap, align_corners=True
+    )
+    w2 = dynamic_bilinear_resize_weights(
+        mid_len, dst_len, mid_cap, dst_cap, align_corners=False, flip=flip
+    )
+    return w2 @ w1
+
+
 def avg_pool_3x3_s2(x: jax.Array) -> jax.Array:
     """3x3/stride-2/pad-1 average pool with count_include_pad=True.
 

@@ -22,7 +22,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from muscle_tpu.core.resize import dynamic_cubic_resize_weights, dynamic_window_resize
+from muscle_tpu.core.resize import (
+    composed_cam_resize_weights,
+    dynamic_cubic_resize_weights,
+    dynamic_window_resize,
+)
 from muscle_tpu.data.tta import msf_batch, bucket_side
 from muscle_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
 
@@ -51,10 +55,12 @@ class CamTTAEngine:
       max_side: dataset max long side (VOC: 500).
       compute_dtype: jnp.bfloat16 runs the backbone in bf16 (MXU fast path);
         fusion accumulators stay f32.
-      lowres: resize the stride-16 CAM/SGC maps straight to original image
-        size (one bilinear resize) instead of the reference's two-stage
-        p7 -> input-size -> original chain — ~10x less resize compute; the
-        full-fidelity chain is kept under lowres=False for parity checks.
+      lowres: resize the stride-16 CAM/SGC maps with the reference's
+        two-stage chain (p7 -> input size, align_corners=True -> original,
+        half-pixel) COMPOSED into one per-axis weight matrix — EXACT and
+        still ~10x less resize compute than materialising the input-size
+        maps (core/resize.py composed_cam_resize_weights); lowres=False
+        materialises the chain stage by stage for cross-checks.
       device_tta: upload each image ONCE as uint8 and do the multi-scale
         bicubic resize + normalisation + flip on device (PIL-compatible
         cubic weights as MXU matmuls), and download only the classes the
@@ -173,14 +179,32 @@ class CamTTAEngine:
 
             def per_image(cam2, sgc2, size, orig):
                 if lowres:
-                    size = (size + feat_stride - 1) // feat_stride
-                box = jnp.concatenate([jnp.zeros(2, jnp.int32), size])
-
-                def resize(m, flip):
-                    return dynamic_window_resize(
-                        m, box, (out_side, out_side), dst_hw=orig,
-                        align_corners=lowres, flip_x=flip,
+                    # composed exact two-stage chain (see _device_core)
+                    map_sz = (size + feat_stride - 1) // feat_stride
+                    mh, mw = cam2.shape[1], cam2.shape[2]
+                    wh = composed_cam_resize_weights(
+                        map_sz[0], size[0], orig[0], mh, canvas, out_side
                     )
+                    ww = composed_cam_resize_weights(
+                        map_sz[1], size[1], orig[1], mw, canvas, out_side
+                    )
+                    wwf = composed_cam_resize_weights(
+                        map_sz[1], size[1], orig[1], mw, canvas, out_side,
+                        flip=True,
+                    )
+
+                    def resize(m, flip):
+                        a = jnp.einsum("Iy,yxk->Ixk", wh, m)
+                        return jnp.einsum("Jx,Ixk->IJk", wwf if flip else ww, a)
+
+                else:
+                    box = jnp.concatenate([jnp.zeros(2, jnp.int32), size])
+
+                    def resize(m, flip):
+                        return dynamic_window_resize(
+                            m, box, (out_side, out_side), dst_hw=orig,
+                            align_corners=False, flip_x=flip,
+                        )
 
                 rows = jnp.arange(out_side)[:, None]
                 cols = jnp.arange(out_side)[None, :]
@@ -253,16 +277,38 @@ class CamTTAEngine:
                 sgc2 = jnp.take(sgc2[..., 1:], idx, axis=-1)
                 if return_cam:
                     cam2 = jnp.take(cam2[..., 1:], idx, axis=-1)
-                if lowres:
-                    size = (size + feat_stride - 1) // feat_stride
-                box = jnp.concatenate([jnp.zeros(2, jnp.int32), size])
                 dst = (orig + stride - 1) // stride
 
-                def resize(m, flip):
-                    return dynamic_window_resize(
-                        m, box, (acc_side, acc_side), dst_hw=dst,
-                        align_corners=lowres, flip_x=flip,
+                if lowres:
+                    # the reference's EXACT two-stage resample chain
+                    # (stride-16 map -> input size, align_corners=True ->
+                    # original/stride, half-pixel) composed into one
+                    # per-axis weight matrix (core/resize.py)
+                    map_sz = (size + feat_stride - 1) // feat_stride
+                    mh, mw = sgc2.shape[1], sgc2.shape[2]
+                    wh = composed_cam_resize_weights(
+                        map_sz[0], size[0], dst[0], mh, canvas_h, acc_side
                     )
+                    ww = composed_cam_resize_weights(
+                        map_sz[1], size[1], dst[1], mw, canvas_w, acc_side
+                    )
+                    wwf = composed_cam_resize_weights(
+                        map_sz[1], size[1], dst[1], mw, canvas_w, acc_side,
+                        flip=True,
+                    )
+
+                    def resize(m, flip):
+                        a = jnp.einsum("Iy,yxk->Ixk", wh, m)
+                        return jnp.einsum("Jx,Ixk->IJk", wwf if flip else ww, a)
+
+                else:
+                    box = jnp.concatenate([jnp.zeros(2, jnp.int32), size])
+
+                    def resize(m, flip):
+                        return dynamic_window_resize(
+                            m, box, (acc_side, acc_side), dst_hw=dst,
+                            align_corners=False, flip_x=flip,
+                        )
 
                 valid = ((rows < dst[0]) & (cols < dst[1]))[..., None]
                 sgc = (resize(sgc2[0], False) + resize(sgc2[1], True)) * valid
@@ -545,6 +591,8 @@ class CamTTAEngine:
         from muscle_tpu.inference.upload import square_unpack_fn, ycbcr420_unpack_fn
 
         b = len(pil_images)
+        if b == 0:
+            return (lambda: []) if defer else []
         if self.upload_mode == "ycbcr420":
             y, c, orig_sizes, transposed = pack_canvas_ycbcr(
                 pil_images, names, self.out_side, self.tight_upload

@@ -146,22 +146,39 @@ def test_seg_fast_mode_close_to_parity_mode():
 
 
 def test_cam_lowres_close_to_fullres(enc_model):
-    """single-stage p7->orig resize vs the reference two-stage chain: not
-    bitwise, but the fused normalised maps must agree closely."""
+    """lowres applies the reference two-stage resample chain as ONE
+    composed weight matrix (core/resize.py) — must match the
+    stage-by-stage lowres=False path to float tolerance (the min-max
+    fusion amplifies float noise on random-weight maps, hence the
+    modest absolute bound on the NORMALISED maps)."""
     model, variables = enc_model
-    sizes = [(48, 40)]
-    imgs = _imgs(sizes, seed=6)
     lab = np.zeros(20, np.float32)
     lab[4] = 1
+    # canvas == image: no padding, so lowres=False (stage-by-stage) and
+    # the composed chain must agree to float tolerance
+    imgs = _imgs([(64, 64)], seed=6)
+    kw = dict(scales=(1.0,), out_side=64, max_side=64)
     full = CamTTAEngine(
-        model, variables, scales=(1.0,), out_side=64, max_side=60, lowres=False
+        model, variables, lowres=False, **kw
     ).run_batch(imgs, ["a"], [lab])[0]["sgc"][4].astype(np.float32)
     low = CamTTAEngine(
-        model, variables, scales=(1.0,), out_side=64, max_side=60, lowres=True
+        model, variables, lowres=True, **kw
+    ).run_batch(imgs, ["a"], [lab])[0]["sgc"][4].astype(np.float32)
+    assert np.abs(low - full).mean() < 2e-3, np.abs(low - full).mean()
+
+    # padded case: the two paths differ by design (lowres=False resizes
+    # the canvas-wide map; the composed chain applies the reference's
+    # window semantics — the more faithful of the two, see
+    # tools/fast_attribution.py) — structural agreement only
+    imgs = _imgs([(48, 40)], seed=6)
+    kw = dict(scales=(1.0,), out_side=64, max_side=60)
+    full = CamTTAEngine(
+        model, variables, lowres=False, **kw
+    ).run_batch(imgs, ["a"], [lab])[0]["sgc"][4].astype(np.float32)
+    low = CamTTAEngine(
+        model, variables, lowres=True, **kw
     ).run_batch(imgs, ["a"], [lab])[0]["sgc"][4].astype(np.float32)
     assert np.abs(low - full).mean() < 0.05
-    # rank structure preserved (skip when random weights give a
-    # near-constant map — correlation is undefined there)
     if full.std() > 1e-3 and low.std() > 1e-3:
         corr = np.corrcoef(low.reshape(-1), full.reshape(-1))[0, 1]
         assert corr > 0.95
