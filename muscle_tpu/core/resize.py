@@ -167,6 +167,7 @@ def dynamic_cubic_resize_weights(
     src_cap: int,
     dst_cap: int,
     flip: bool = False,
+    dst_off: jax.Array | float = 0.0,
 ) -> jax.Array:
     """(dst_cap, src_cap) on-device bicubic interpolation weights for a
     dynamic src_len -> dst_len resize (both live in static canvases).
@@ -176,22 +177,21 @@ def dynamic_cubic_resize_weights(
     the resample the reference's MSF datasets use (src/data.py:162).  Rows
     beyond dst_len are zero; columns beyond src_len are masked out before
     row normalisation.  ``flip=True`` samples the source right-to-left
-    (fused TTA flip).
+    (fused TTA flip).  ``dst_off`` places the output window at
+    [dst_off, dst_off + dst_len) instead of the canvas origin (TF-SAME
+    alignment placement, see models/efficientnet.py placement_offset).
     """
     src = src_len.astype(jnp.float32)
     dst = dst_len.astype(jnp.float32)
-    i = jax.lax.broadcasted_iota(jnp.float32, (dst_cap, src_cap), 0)
-    if flip:
-        i = dst - 1.0 - i
+    off = jnp.asarray(dst_off, jnp.float32)
+    i0 = jax.lax.broadcasted_iota(jnp.float32, (dst_cap, src_cap), 0) - off
+    i = dst - 1.0 - i0 if flip else i0
     y = jax.lax.broadcasted_iota(jnp.float32, (dst_cap, src_cap), 1)
     center = (i + 0.5) * src / dst - 0.5
     support_scale = jnp.maximum(src / dst, 1.0)  # PIL antialias widening
     w = _cubic_kernel((y - center) / support_scale)
     w = jnp.where(y < src, w, 0.0)  # clip to valid source
-    w = jnp.where(
-        (jax.lax.broadcasted_iota(jnp.float32, (dst_cap, src_cap), 0) < dst),
-        w, 0.0,
-    )
+    w = jnp.where((i0 >= 0.0) & (i0 < dst), w, 0.0)
     denom = jnp.sum(w, axis=1, keepdims=True)
     return w / jnp.where(denom == 0.0, 1.0, denom)
 
@@ -203,29 +203,31 @@ def dynamic_bilinear_resize_weights(
     dst_cap: int,
     align_corners: bool,
     flip: bool = False,
+    src_off: jax.Array | float = 0.0,
+    dst_off: jax.Array | float = 0.0,
 ) -> jax.Array:
     """(dst_cap, src_cap) bilinear interpolation weights for a dynamic
     src_len -> dst_len resize (matrix form of the two conventions used by
     the reference: torch align_corners=True and cv2/PIL half-pixel).
     Boundary renormalisation == coordinate clamping for the width-1
     bilinear kernel.  ``flip=True`` indexes the OUTPUT right-to-left
-    (the TTA un-flip fused in)."""
+    (the TTA un-flip fused in).  ``src_off``/``dst_off`` read/write the
+    windows at [off, off + len) inside their canvases (TF-SAME alignment
+    placement, models/efficientnet.py placement_offset)."""
     src = src_len.astype(jnp.float32)
     dst = dst_len.astype(jnp.float32)
-    i = jax.lax.broadcasted_iota(jnp.float32, (dst_cap, src_cap), 0)
-    if flip:
-        i = dst - 1.0 - i
-    y = jax.lax.broadcasted_iota(jnp.float32, (dst_cap, src_cap), 1)
+    soff = jnp.asarray(src_off, jnp.float32)
+    doff = jnp.asarray(dst_off, jnp.float32)
+    i0 = jax.lax.broadcasted_iota(jnp.float32, (dst_cap, src_cap), 0) - doff
+    i = dst - 1.0 - i0 if flip else i0
+    y = jax.lax.broadcasted_iota(jnp.float32, (dst_cap, src_cap), 1) - soff
     if align_corners:
         center = i * (src - 1.0) / jnp.maximum(dst - 1.0, 1.0)
     else:
         center = (i + 0.5) * src / dst - 0.5
     w = jnp.maximum(0.0, 1.0 - jnp.abs(y - center))
-    w = jnp.where(y < src, w, 0.0)
-    w = jnp.where(
-        jax.lax.broadcasted_iota(jnp.float32, (dst_cap, src_cap), 0) < dst,
-        w, 0.0,
-    )
+    w = jnp.where((y >= 0.0) & (y < src), w, 0.0)
+    w = jnp.where((i0 >= 0.0) & (i0 < dst), w, 0.0)
     denom = jnp.sum(w, axis=1, keepdims=True)
     return w / jnp.where(denom == 0.0, 1.0, denom)
 

@@ -161,28 +161,37 @@ def msf_batch(
     pil_images: list[Image.Image],
     names: list[str],
     scale: float,
-    canvas: int | None = None,
+    canvas: int | tuple[int, int] | None = None,
     flip: bool = True,
+    offsets: np.ndarray | None = None,
 ) -> MSFBatch:
     """Resize a batch of images to ``scale`` (CUBIC, like the reference),
     normalise, and place orig(+flip) into a static canvas.
 
     flip=False gives the MS (no-flip) variant (reference
-    VOC12ClsDatasetMS, src/data.py:367-391)."""
+    VOC12ClsDatasetMS, src/data.py:367-391).  ``offsets``: optional (B, 2)
+    int per-image (oy, ox) canvas placement (TF-SAME alignment offsets,
+    muscle_tpu.models.efficientnet.placement_offset)."""
     b = len(pil_images)
-    side = canvas or bucket_side(scale)
+    if canvas is None:
+        ch = cw = bucket_side(scale)
+    elif isinstance(canvas, tuple):
+        ch, cw = canvas
+    else:
+        ch = cw = canvas
     per = 2 if flip else 1
-    out = np.zeros((per * b, side, side, 3), np.float32)
+    out = np.zeros((per * b, ch, cw, 3), np.float32)
     sizes = np.zeros((b, 2), np.int32)
     orig = np.zeros((b, 2), np.int32)
     for i, img in enumerate(pil_images):
         w, h = img.size
         orig[i] = (h, w)
         tw, th = scaled_size(w, h, scale)
+        oy, ox = (0, 0) if offsets is None else (int(offsets[i, 0]), int(offsets[i, 1]))
         arr = T.color_norm(np.asarray(img.resize((tw, th), resample=T.BICUBIC)))
-        out[per * i, :th, :tw] = arr
+        out[per * i, oy : oy + th, ox : ox + tw] = arr
         if flip:
-            out[per * i + 1, :th, :tw] = arr[:, ::-1]
+            out[per * i + 1, oy : oy + th, ox : ox + tw] = arr[:, ::-1]
         sizes[i] = (th, tw)
     return MSFBatch(scale, out, sizes, list(names), orig)
 

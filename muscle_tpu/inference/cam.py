@@ -29,19 +29,34 @@ from muscle_tpu.core.resize import (
 )
 from muscle_tpu.data.tta import msf_batch, bucket_side
 from muscle_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+from muscle_tpu.models.efficientnet import placement_offset
+
+# TF-SAME stride-2 convs between the input and the CAM-mode stride-16
+# feature maps (stem + stages 2-4; stage 6 is stride 1 with
+# last_pooling=False) — the ladder depth for placement_offset.
+N_STRIDED_ENC = 4
+
+
+def _scaled_np(orig_sizes, scale: float) -> np.ndarray:
+    """Scaled (h, w) with the device's arithmetic: f32 product, jnp.round
+    (half-to-even) — so host canvas sizing matches the traced sizes."""
+    return np.round(
+        np.asarray(orig_sizes, np.float32) * np.float32(scale)
+    ).astype(np.int32)
 
 
 def _batch_canvas(scale: float, orig_sizes, max_side: int) -> tuple[int, int]:
-    """Rectangular per-batch canvas: the batch's max scaled (h, w) bucketed
-    to multiples of 64 (capped at the square scale bucket).  With
-    orientation-homogeneous batches (the CLIs sort by orientation) this
-    cuts ~25% of the conv FLOPs on VOC-shaped data — exactly, since the
-    dropped region is zero padding outside every image's window.  Rounding
-    matches the device's jnp.round (half-to-even)."""
-    side = bucket_side(scale, max_side)
-    sh = int(np.max(np.round(np.asarray(orig_sizes)[:, 0].astype(np.float64) * scale)))
-    sw = int(np.max(np.round(np.asarray(orig_sizes)[:, 1].astype(np.float64) * scale)))
-    return min(side, -(-sh // 64) * 64), min(side, -(-sw // 64) * 64)
+    """Rectangular per-batch canvas: the batch's max scaled (h, w) PLUS its
+    TF-SAME placement offset (<= 15 px, models/efficientnet.py
+    placement_offset), bucketed to multiples of 64.  With orientation-
+    homogeneous batches (the CLIs sort by orientation) this cuts ~25% of
+    the conv FLOPs on VOC-shaped data — exactly, since the dropped region
+    is zero padding outside every image's window."""
+    scaled = _scaled_np(orig_sizes, scale)
+    off = placement_offset(scaled, N_STRIDED_ENC)
+    sh = int(np.max(scaled[:, 0] + off[:, 0]))
+    sw = int(np.max(scaled[:, 1] + off[:, 1]))
+    return -(-sh // 64) * 64, -(-sw // 64) * 64
 
 
 class CamTTAEngine:
@@ -158,7 +173,7 @@ class CamTTAEngine:
         self._scale_fn = {}
         self._device_scale_fn = {}
 
-    def _core(self, canvas: int):
+    def _core(self, canvas_h: int, canvas_w: int):
         """Shared per-scale compute: scaled normalised (orig, flip) pairs ->
         model -> resize-back/un-flip -> accumulate."""
         model = self.model
@@ -166,16 +181,23 @@ class CamTTAEngine:
         cdt = self.compute_dtype
         lowres = self.lowres
 
-        def compute(variables, images, sizes, orig_sizes, cam_sum, sgc_sum, logits_sum):
+        def compute(variables, images, win, orig_sizes, cam_sum, sgc_sum, logits_sum):
+            sizes = win[:, 2:]
             mode = "cam_lowres" if lowres else "cam"
-            cams, sgcs, _, logits = model.apply(
-                variables, images.astype(cdt), mode=mode,
-                valid_hw=jnp.repeat(sizes, 2, axis=0),
-            )
+            if lowres:
+                cams, sgcs, _, logits = model.apply(
+                    variables, images.astype(cdt), mode=mode,
+                    valid_window=jnp.repeat(win, 2, axis=0),
+                )
+            else:
+                cams, sgcs, _, logits = model.apply(
+                    variables, images.astype(cdt), mode=mode,
+                    valid_hw=jnp.repeat(sizes, 2, axis=0),
+                )
             cams = cams.astype(jnp.float32)
             sgcs = sgcs.astype(jnp.float32)
             logits = logits.astype(jnp.float32)
-            feat_stride = canvas // cams.shape[1]  # 1 (full-res) or 16
+            feat_stride = canvas_h // cams.shape[1]  # 1 (full-res) or 16
 
             def per_image(cam2, sgc2, size, orig):
                 if lowres:
@@ -183,13 +205,13 @@ class CamTTAEngine:
                     map_sz = (size + feat_stride - 1) // feat_stride
                     mh, mw = cam2.shape[1], cam2.shape[2]
                     wh = composed_cam_resize_weights(
-                        map_sz[0], size[0], orig[0], mh, canvas, out_side
+                        map_sz[0], size[0], orig[0], mh, canvas_h, out_side
                     )
                     ww = composed_cam_resize_weights(
-                        map_sz[1], size[1], orig[1], mw, canvas, out_side
+                        map_sz[1], size[1], orig[1], mw, canvas_w, out_side
                     )
                     wwf = composed_cam_resize_weights(
-                        map_sz[1], size[1], orig[1], mw, canvas, out_side,
+                        map_sz[1], size[1], orig[1], mw, canvas_w, out_side,
                         flip=True,
                     )
 
@@ -225,15 +247,17 @@ class CamTTAEngine:
 
         return compute
 
-    def _fn_for(self, scale: float, batch: int):
+    def _fn_for(self, scale: float, batch: int, canvas_hw=None):
         """Host-prep path: PIL-scaled f32 canvases in, one jit per scale.
 
         NOTE: variables are an ARGUMENT, not a closure capture — a captured
         jax.Array becomes an XLA constant (weights baked into the program:
         monster compiles, cache misses per checkpoint)."""
-        key = (scale, batch)
+        side = bucket_side(scale, self.max_side)
+        ch, cw = canvas_hw or (side, side)
+        key = (scale, batch, ch, cw)
         if key not in self._scale_fn:
-            compute = self._core(bucket_side(scale, self.max_side))
+            compute = self._core(ch, cw)
             self._scale_fn[key] = jax.jit(compute, donate_argnums=(4, 5, 6))
         return self._scale_fn[key]
 
@@ -257,12 +281,28 @@ class CamTTAEngine:
         acc_side = self.acc_side
         return_cam = self.return_cam
 
-        def compute(variables, images, sizes, orig_sizes, class_idx, accs):
+        def compute(variables, images, win, orig_sizes, class_idx, accs):
+            # win: (B, 4) int (oy, ox, h, w) — per-image scaled valid window
+            # at its TF-SAME placement offset; the model's valid_window mode
+            # makes the canvas forward equal to the reference's unpadded one
+            # (closes DEVIATIONS.md #8), with the stride-16 maps' windows at
+            # offset 0 by construction.
+            sizes = win[:, 2:]
             mode = "cam_lowres" if lowres else "cam"
-            cams, sgcs, _, logits = model.apply(
-                variables, images.astype(cdt), mode=mode,
-                valid_hw=jnp.repeat(sizes, 2, axis=0),
-            )
+            if lowres:
+                cams, sgcs, _, logits = model.apply(
+                    variables, images.astype(cdt), mode=mode,
+                    valid_window=jnp.repeat(win, 2, axis=0),
+                )
+            else:
+                # full-res mode keeps the legacy masked-reduction path: its
+                # model-internal canvas upsample is not window-aware, so the
+                # exact window machinery doesn't apply (lowres=True is the
+                # production fast path; lowres=False exists for cross-checks)
+                cams, sgcs, _, logits = model.apply(
+                    variables, images.astype(cdt), mode=mode,
+                    valid_hw=jnp.repeat(sizes, 2, axis=0),
+                )
             cams = cams.astype(jnp.float32)
             sgcs = sgcs.astype(jnp.float32)
             logits = logits.astype(jnp.float32)
@@ -359,24 +399,37 @@ class CamTTAEngine:
             compute = self._device_core(ch, cw)
             mean = jnp.asarray(IMAGENET_MEAN[0, 0], jnp.float32)
             std = jnp.asarray(IMAGENET_STD[0, 0], jnp.float32)
+            lowres = self.lowres
 
             @functools.partial(jax.jit, donate_argnums=(4,))
             def run(variables, images_u8, orig_sizes, class_idx, accs):
                 scaled = jnp.round(orig_sizes.astype(jnp.float32) * scale).astype(jnp.int32)
+                if lowres:
+                    # per-image TF-SAME alignment placement (the model's
+                    # valid_window exact mode); the legacy full-res path
+                    # keeps top-left placement + masked reductions
+                    off = placement_offset(scaled, N_STRIDED_ENC)
+                else:
+                    off = jnp.zeros_like(scaled)
 
-                def make_pair(img_u8, osz, ssz):
+                def make_pair(img_u8, osz, ssz, o):
                     x = (img_u8.astype(jnp.float32) / 255.0 - mean) / std
-                    wh = dynamic_cubic_resize_weights(osz[0], ssz[0], in_side, ch)
-                    ww = dynamic_cubic_resize_weights(osz[1], ssz[1], in_side, cw)
+                    wh = dynamic_cubic_resize_weights(
+                        osz[0], ssz[0], in_side, ch, dst_off=o[0]
+                    )
+                    ww = dynamic_cubic_resize_weights(
+                        osz[1], ssz[1], in_side, cw, dst_off=o[1]
+                    )
                     wwf = dynamic_cubic_resize_weights(
-                        osz[1], ssz[1], in_side, cw, flip=True
+                        osz[1], ssz[1], in_side, cw, flip=True, dst_off=o[1]
                     )
                     a = jnp.einsum("Iy,yxc->Ixc", wh, x)
                     return jnp.einsum("Jx,Ixc->IJc", ww, a), jnp.einsum("Jx,Ixc->IJc", wwf, a)
 
-                orig_v, flip_v = jax.vmap(make_pair)(images_u8, orig_sizes, scaled)
+                orig_v, flip_v = jax.vmap(make_pair)(images_u8, orig_sizes, scaled, off)
                 images = jnp.stack([orig_v, flip_v], axis=1).reshape(-1, ch, cw, 3)
-                return compute(variables, images, scaled, orig_sizes, class_idx, accs)
+                win = jnp.concatenate([off, scaled], axis=-1)
+                return compute(variables, images, win, orig_sizes, class_idx, accs)
 
             self._device_scale_fn[key] = run
         return self._device_scale_fn[key]
@@ -455,17 +508,31 @@ class CamTTAEngine:
         artifact contract of infer_mcl.py:166-182."""
         if self.device_tta:
             return self._run_batch_device(pil_images, names, labels)
+        from muscle_tpu.data.tta import scaled_size
+
         b = len(pil_images)
         cam_sum = jnp.zeros((b, self.out_side, self.out_side, self.num_classes), jnp.float32)
         sgc_sum = jnp.zeros_like(cam_sum)
         logits_sum = jnp.zeros((b, self.num_classes), jnp.float32)
         orig_sizes = None
         for s in self.scales:
-            mb = msf_batch(pil_images, names, s, canvas=bucket_side(s, self.max_side))
-            fn = self._fn_for(s, b)
+            # offsets/canvas from the EXACT host-side scaled sizes (Python
+            # round, like msf_batch) — TF-SAME alignment placement
+            scaled = np.asarray(
+                [scaled_size(*img.size, s)[::-1] for img in pil_images], np.int32
+            )
+            if self.lowres:
+                off = placement_offset(scaled, N_STRIDED_ENC)
+            else:
+                off = np.zeros_like(scaled)
+            ch = -(-int(np.max(scaled[:, 0] + off[:, 0])) // 64) * 64
+            cw = -(-int(np.max(scaled[:, 1] + off[:, 1])) // 64) * 64
+            mb = msf_batch(pil_images, names, s, canvas=(ch, cw), offsets=off)
+            fn = self._fn_for(s, b, (ch, cw))
+            win = np.concatenate([off, mb.sizes], axis=-1)
             cam_sum, sgc_sum, logits_sum = fn(
                 self.variables,
-                jnp.asarray(mb.images), jnp.asarray(mb.sizes), jnp.asarray(mb.orig_sizes),
+                jnp.asarray(mb.images), jnp.asarray(win), jnp.asarray(mb.orig_sizes),
                 cam_sum, sgc_sum, logits_sum,
             )
             orig_sizes = mb.orig_sizes

@@ -114,6 +114,69 @@ def efficientnet_config(
     return tuple(blocks), 0.2
 
 
+def advance_window(win):
+    """Valid-window transform across one TF-SAME stride-2 conv.
+
+    ``win``: (..., 4) int (oy, ox, h, w) — the image's valid window inside
+    the padded canvas at the conv's INPUT resolution.  TF SAME pads
+    pad_left = pad_total // 2 (reference utils.py:103-119): for the odd
+    kernels used here (3, 5) that is one MORE column on the left when the
+    input length is odd than when it is even, while the even canvas always
+    gets the even-length padding.  Embedding the image at offset ``o`` and
+    zeroing outside the window therefore reproduces the reference's
+    unpadded conv exactly when o_out = (o_in - (len & 1)) / 2 — integral by
+    construction of placement_offset().  Works on numpy and jax arrays.
+    """
+    oy, ox, h, w = win[..., 0], win[..., 1], win[..., 2], win[..., 3]
+    new = [(oy - (h & 1)) // 2, (ox - (w & 1)) // 2, (h + 1) // 2, (w + 1) // 2]
+    if isinstance(win, jax.Array):
+        return jnp.stack(new, axis=-1)
+    import numpy as np
+
+    return np.stack(new, axis=-1)
+
+
+def placement_offset(sizes, n_strided: int):
+    """Per-image canvas placement (oy, ox) such that after ``n_strided``
+    TF-SAME stride-2 convs the valid window sits at offset 0.
+
+    ``sizes``: (..., 2) int (h, w).  Back-propagates the advance_window
+    recursion from a zero final offset: O = sum_j q_j * 2^j with q_j the
+    window-length parity at strided layer j (STATUS.md backlog #1's
+    "ALIGNMENT" component).  O <= 2^n_strided - 1 (15 at stride 16).
+    Works on numpy and jax arrays.
+    """
+    h, w = sizes[..., 0], sizes[..., 1]
+    oy = h * 0
+    ox = w * 0
+    for j in range(n_strided):
+        oy = oy + (h & 1) * (1 << j)
+        ox = ox + (w & 1) * (1 << j)
+        h = (h + 1) // 2
+        w = (w + 1) // 2
+    if isinstance(sizes, jax.Array):
+        return jnp.stack([oy, ox], axis=-1)
+    import numpy as np
+
+    return np.stack([oy, ox], axis=-1)
+
+
+def window_mask(hw: tuple[int, int], win: jax.Array, dtype) -> jax.Array:
+    """(N, H, W, 1) indicator of the per-image valid windows ``win``
+    ((N, 4) int (oy, ox, h, w)) inside an (H, W) canvas."""
+    rows = jnp.arange(hw[0])[None, :, None]
+    cols = jnp.arange(hw[1])[None, None, :]
+    oy = win[:, 0][:, None, None]
+    ox = win[:, 1][:, None, None]
+    m = (
+        (rows >= oy)
+        & (rows < oy + win[:, 2][:, None, None])
+        & (cols >= ox)
+        & (cols < ox + win[:, 3][:, None, None])
+    )
+    return m[..., None].astype(dtype)
+
+
 def drop_connect(x: jax.Array, rate: float, rng: jax.Array) -> jax.Array:
     """Per-sample stochastic depth (reference utils.py:82-91)."""
     keep = 1.0 - rate
@@ -145,8 +208,46 @@ class MBConvBlock(nn.Module):
         x: jax.Array,
         train: bool = False,
         drop_rate: float = 0.0,
+        mask_in: jax.Array | None = None,
+        mask_out: jax.Array | None = None,
+        se_count: jax.Array | None = None,
+        fused: bool = False,
+        window: jax.Array | None = None,
     ) -> jax.Array:
+        """mask_in/mask_out: optional (N, H, W, 1) valid-window indicators at
+        the block's input/output resolution (padded-canvas exact mode).  The
+        reference runs every image unpadded, so its convs read TF-SAME zeros
+        beyond the image; re-zeroing before the depthwise conv and after
+        every BN (whose shift makes the pad region nonzero) plus a masked SE
+        mean (``se_count`` = per-image valid pixel count, (N, 1, 1, 1))
+        makes this canvas forward bit-equal to the unpadded one
+        (STATUS.md backlog #1 "HALO").
+
+        fused: inference fast path — run the whole block as two Pallas
+        kernels (ops/pallas/mbconv.py; the XLA lowering is HBM-bound at ~4%
+        MXU on the early stages).  Only taken for eligible stride-1 blocks
+        outside init; ``window`` is the (N, 4) valid-window scalar form of
+        the masks (no mask tensors cross HBM)."""
         a = self.args
+        if (
+            fused
+            and not train
+            and not self.is_initializing()
+            and a.stride == 1
+            and a.id_skip
+            and a.input_filters == a.output_filters
+            and a.se_ratio
+        ):
+            from muscle_tpu.ops.pallas.mbconv import fused_mbconv_stride1
+
+            v = self.variables
+            return fused_mbconv_stride1(
+                x, v["params"], v["batch_stats"], window,
+                k=a.kernel_size, has_expand=a.expand_ratio != 1,
+                se_ratio_filters=max(1, int(a.input_filters * a.se_ratio)),
+                bn_eps=self.bn_epsilon,
+                compute_dtype=self.dtype,
+            )
         inputs = x
         bn = lambda name: nn.BatchNorm(  # noqa: E731
             use_running_average=not train,
@@ -160,6 +261,8 @@ class MBConvBlock(nn.Module):
         if a.expand_ratio != 1:
             x = nn.Conv(oup, (1, 1), padding="SAME", use_bias=False, dtype=self.dtype, name="_expand_conv")(x)
             x = nn.silu(bn("_bn0")(x))
+            if mask_in is not None:
+                x = x * mask_in  # zeros under the depthwise kernel's halo
 
         x = nn.Conv(
             oup,
@@ -172,10 +275,17 @@ class MBConvBlock(nn.Module):
             name="_depthwise_conv",
         )(x)
         x = nn.silu(bn("_bn1")(x))
+        if mask_out is not None:
+            x = x * mask_out
 
         if a.se_ratio is not None and 0 < a.se_ratio <= 1:
             squeezed = max(1, int(a.input_filters * a.se_ratio))
-            se = jnp.mean(x, axis=(1, 2), keepdims=True)
+            if se_count is None:
+                se = jnp.mean(x, axis=(1, 2), keepdims=True)
+            else:
+                # masked mean == the reference's unpadded adaptive_avg_pool
+                # (x is already zero outside the window)
+                se = jnp.sum(x, axis=(1, 2), keepdims=True) / se_count
             se = nn.Conv(squeezed, (1, 1), dtype=self.dtype, name="_se_reduce")(se)
             se = nn.Conv(oup, (1, 1), dtype=self.dtype, name="_se_expand")(nn.silu(se))
             x = jax.nn.sigmoid(se) * x
@@ -184,6 +294,8 @@ class MBConvBlock(nn.Module):
             a.output_filters, (1, 1), padding="SAME", use_bias=False, dtype=self.dtype, name="_project_conv"
         )(x)
         x = bn("_bn2")(x)
+        if mask_out is not None:
+            x = x * mask_out
 
         if a.id_skip and a.stride == 1 and a.input_filters == a.output_filters:
             if train and drop_rate > 0.0:
@@ -206,8 +318,23 @@ class EfficientNet(nn.Module):
     bn_epsilon: float = 1e-3
     dtype: Any = jnp.float32
 
+    fuse_max_in_filters: int = 0  # fuse stride-1 MBConvs with input_filters
+    # <= this many channels as Pallas kernels at inference (0 disables; the
+    # sub-128-channel early stages are where the XLA lowering is HBM-bound)
+
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> list[jax.Array]:
+    def __call__(
+        self,
+        x: jax.Array,
+        train: bool = False,
+        valid_window: jax.Array | None = None,
+    ) -> list[jax.Array]:
+        """valid_window: optional (N, 4) int (oy, ox, h, w) per-image valid
+        windows inside the padded input canvas, with (oy, ox) chosen by
+        placement_offset().  When given, features are re-zeroed to the
+        per-stage window after every BN (and SE pools over the window only),
+        which makes the padded-canvas forward EQUAL to the reference's
+        unpadded TF-SAME forward (utils.py:103-145) — see MBConvBlock."""
         blocks, drop_connect_rate = efficientnet_config(self.model_name, self.last_pooling)
         width = _SCALING[self.model_name][0]
 
@@ -224,17 +351,33 @@ class EfficientNet(nn.Module):
                 name="_bn0",
             )(x)
         )
+        win = mask = count = None
+        if valid_window is not None:
+            win = advance_window(valid_window)  # stem is stride 2
+            mask = window_mask(x.shape[1:3], win, x.dtype)
+            count = (win[:, 2] * win[:, 3]).astype(x.dtype)[:, None, None, None]
+            x = x * mask
 
         pyramid = []
         n_blocks = len(blocks)
         for idx, args in enumerate(blocks):
             rate = drop_connect_rate * idx / n_blocks
+            mask_in = mask
+            if win is not None and args.stride == 2:
+                win = advance_window(win)
+                mask = window_mask(
+                    ((x.shape[1] + 1) // 2, (x.shape[2] + 1) // 2), win, x.dtype
+                )
+                count = (win[:, 2] * win[:, 3]).astype(x.dtype)[:, None, None, None]
             x = MBConvBlock(
                 args,
                 bn_momentum=self.bn_momentum,
                 bn_epsilon=self.bn_epsilon,
                 dtype=self.dtype,
                 name=f"_blocks_{idx}",
-            )(x, train=train, drop_rate=rate)
+            )(x, train=train, drop_rate=rate, mask_in=mask_in, mask_out=mask,
+              se_count=count,
+              fused=args.input_filters <= self.fuse_max_in_filters,
+              window=win)
             pyramid.append(x)
         return pyramid

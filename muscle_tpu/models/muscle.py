@@ -21,9 +21,13 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from muscle_tpu.core.resize import resize_bilinear, resize_to
+from muscle_tpu.core.resize import (
+    dynamic_bilinear_resize_weights,
+    resize_bilinear,
+    resize_to,
+)
 from muscle_tpu.models.bifpn import BiFPN
-from muscle_tpu.models.efficientnet import EfficientNet
+from muscle_tpu.models.efficientnet import EfficientNet, advance_window
 
 # Per-variant pyramid: (channels p1..p7, block indices p1..p7)
 # (reference src/MuSCLe.py:167-178).
@@ -67,6 +71,8 @@ class MuSCLe(nn.Module):
     last_pooling: bool = True
     mode: str = "enc"  # 'enc' (classifier/CAM heads) or 'dec' (BiFPN decoder)
     dtype: Any = jnp.float32
+    fuse_mbconv: int = 0  # Pallas-fuse stride-1 MBConvs with <= N input
+    # channels at inference (ops/pallas/mbconv.py); 0 = plain XLA
 
     def setup(self):
         if self.backbone_name not in PYRAMID_TABLE:
@@ -75,6 +81,7 @@ class MuSCLe(nn.Module):
             model_name=self.backbone_name,
             last_pooling=self.last_pooling,
             dtype=self.dtype,
+            fuse_max_in_filters=self.fuse_mbconv,
             name="backbone",
         )
         channels, self.p_seq = PYRAMID_TABLE[self.backbone_name]
@@ -97,8 +104,8 @@ class MuSCLe(nn.Module):
             self.num_classes, (1, 1), use_bias=True, dtype=self.dtype, name="fuse_dec"
         )
 
-    def _pyramid(self, x: jax.Array, train: bool):
-        feats = self.backbone(x, train=train)
+    def _pyramid(self, x: jax.Array, train: bool, valid_window=None):
+        feats = self.backbone(x, train=train, valid_window=valid_window)
         return [feats[i] for i in self.p_seq]
 
     def _cams(self, p7: jax.Array) -> jax.Array:
@@ -147,12 +154,38 @@ class MuSCLe(nn.Module):
         m = (rows < eff[:, 0:1, None]) & (cols < eff[:, 1:2, None])
         return m[..., None].astype(p7.dtype)
 
+    def _window_resize_ac(self, src: jax.Array, src_win: jax.Array,
+                          dst_win: jax.Array, dst_hw: tuple[int, int]) -> jax.Array:
+        """Per-image align_corners=True bilinear resize of the valid window
+        ``src_win`` of ``src`` onto the window ``dst_win`` of a static
+        (dst_h, dst_w) canvas — the reference's F.interpolate on UNPADDED
+        pyramid features (src/MuSCLe.py:248-253), reproduced inside padded
+        canvases.  Zero outside the destination window."""
+        hs, ws = src.shape[1:3]
+        hd, wd = dst_hw
+        hp = jax.lax.Precision.HIGHEST
+
+        def one(m, sw, dw):
+            wh = dynamic_bilinear_resize_weights(
+                sw[2], dw[2], hs, hd, align_corners=True,
+                src_off=sw[0], dst_off=dw[0],
+            )
+            ww = dynamic_bilinear_resize_weights(
+                sw[3], dw[3], ws, wd, align_corners=True,
+                src_off=sw[1], dst_off=dw[1],
+            )
+            a = jnp.einsum("Iy,yxc->Ixc", wh, m, precision=hp)
+            return jnp.einsum("Jx,Ixc->IJc", ww, a, precision=hp)
+
+        return jax.vmap(one)(src, src_win, dst_win)
+
     def __call__(
         self,
         x: jax.Array,
         mode: str = "cam",
         train: bool = False,
         valid_hw: jax.Array | None = None,
+        valid_window: jax.Array | None = None,
     ):
         """valid_hw: optional (N, 2) per-image valid (h, w) inside a padded
         canvas (batched TTA engines).  The reference runs every image
@@ -161,9 +194,16 @@ class MuSCLe(nn.Module):
         those reductions are masked to the valid feature window, removing
         the canvas-size dependence of the padded fast paths (the remaining
         padded-canvas deviation is the conv halo near the window edge,
-        DEVIATIONS.md #8)."""
+        DEVIATIONS.md #8).
+
+        valid_window: optional (N, 4) int (oy, ox, h, w) per-image windows
+        with (oy, ox) from efficientnet.placement_offset — the EXACT padded-
+        canvas mode: the backbone re-zeroes the per-stage windows (halo) and
+        the images sit at their TF-SAME alignment offsets, so the canvas
+        forward equals the reference's unpadded forward (closes
+        DEVIATIONS.md #8); supersedes valid_hw when given."""
         n, hh, ww, _ = x.shape
-        ps = self._pyramid(x, train)
+        ps = self._pyramid(x, train, valid_window=valid_window)
         p1, p2, p3, p4, p5, p6, p7 = ps
 
         if mode == "logits":
@@ -172,11 +212,27 @@ class MuSCLe(nn.Module):
 
         if mode in ("cam", "pix", "cam_lowres"):
             cams = self._cams(p7)
-            f1 = jax.nn.relu(resize_to(p1, p7, align_corners=True))
-            f2 = jax.nn.relu(resize_to(p3, p7, align_corners=True))
+            if valid_window is not None:
+                # per-stride windows: p1 @ stride 2, p3 @ stride 8,
+                # p5/p7 @ stride 16 (offset 0 by placement_offset)
+                w2 = advance_window(valid_window)
+                w8 = advance_window(advance_window(w2))
+                w16 = advance_window(w8)
+                hw7 = (p7.shape[1], p7.shape[2])
+                f1 = jax.nn.relu(self._window_resize_ac(p1, w2, w16, hw7))
+                f2 = jax.nn.relu(self._window_resize_ac(p3, w8, w16, hw7))
+            else:
+                f1 = jax.nn.relu(resize_to(p1, p7, align_corners=True))
+                f2 = jax.nn.relu(resize_to(p3, p7, align_corners=True))
             f3 = jax.nn.relu(p5)
             fs = jax.lax.stop_gradient(jnp.concatenate([f1, f2, f3], axis=-1))
-            if valid_hw is not None:
+            if valid_window is not None:
+                from muscle_tpu.models.efficientnet import window_mask
+
+                m = window_mask((p7.shape[1], p7.shape[2]), w16, p7.dtype)
+                sgc = self.pcm(cams, fs, mask=m)
+                emb = jnp.sum(p7 * m, axis=(1, 2)) / jnp.sum(m, axis=(1, 2))
+            elif valid_hw is not None:
                 m = self._feature_mask(p7, hh, valid_hw)
                 sgc = self.pcm(cams, fs, mask=m)
                 emb = jnp.sum(p7 * m, axis=(1, 2)) / jnp.sum(m, axis=(1, 2))

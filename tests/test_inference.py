@@ -213,13 +213,20 @@ class _StubCamModel:
     zeroing collapse every normalised map and says nothing about resample
     fidelity."""
 
-    def apply(self, variables, x, mode="cam_lowres", valid_hw=None, **kw):
+    def apply(self, variables, x, mode="cam_lowres", valid_hw=None,
+              valid_window=None, **kw):
         b, h, w, _ = x.shape
         g = 16
         pooled = x.reshape(b, h // g, g, w // g, g, 3).mean(axis=(2, 4))
         mix = jnp.asarray(variables["mix"])  # (3, 21)
         maps = jnp.einsum("bhwc,ck->bhwk", pooled, mix)
         sgc = jnp.einsum("bhwc,ck->bhwk", pooled ** 2, mix)
+        if valid_window is not None:
+            # engines pass (oy, ox, h, w) placement windows; the stub has no
+            # real window semantics, so mask the GAP to the cells the placed
+            # image touches (canvas-size independent, like MuSCLe's masked
+            # reductions)
+            valid_hw = valid_window[:, :2] + valid_window[:, 2:]
         if valid_hw is not None:
             # masked GAP over the valid feature window, like MuSCLe
             eff = (valid_hw + g - 1) // g
