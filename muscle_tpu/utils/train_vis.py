@@ -40,11 +40,15 @@ class TrainVisualizer:
       every: dump period in iterations; <= 0 disables entirely.
     """
 
-    def __init__(self, model, out_dir: str, mode: str = "cam", every: int = 25):
+    def __init__(self, model, out_dir: str, mode: str = "cam", every: int = 25,
+                 tb=None):
         self.model = model
         self.out_dir = out_dir
         self.mode = mode
         self.every = every
+        self.tb = tb  # optional utils.tb_events.EventWriter: every PNG also
+        # goes out as a tensorboard image summary (the reference's
+        # tblogger.log_images stream, train_mcl.py:274-275)
 
     @functools.cached_property
     def _cam_forward(self):
@@ -85,23 +89,30 @@ class TrainVisualizer:
         from PIL import Image
 
         Image.fromarray(img8).save(os.path.join(self.out_dir, f"step{step}_img.png"))
+        if self.tb is not None:
+            self.tb.add_image("vis/input", img8, step)
         if self.mode == "cam":
             cam, sgc = self._cam_forward(variables, img)
             cam, sgc = np.asarray(cam, np.float32), np.asarray(sgc, np.float32)
             for c in np.nonzero(np.asarray(batch["label"][0]) > 1e-5)[0]:
-                save_overlay(
+                ov_cam = save_overlay(
                     os.path.join(self.out_dir, f"step{step}_cls{c}_cam.png"),
                     img8, cam[..., 1 + c],
                 )
-                save_overlay(
+                ov_sgc = save_overlay(
                     os.path.join(self.out_dir, f"step{step}_cls{c}_sgc.png"),
                     img8, sgc[..., 1 + c],
                 )
+                if self.tb is not None:
+                    self.tb.add_image(f"vis/cls{c}_cam", ov_cam, step)
+                    self.tb.add_image(f"vis/cls{c}_sgc", ov_sgc, step)
         else:
             from muscle_tpu.core.palette import voc_color_map
 
             mask = np.asarray(self._seg_forward(variables, img))
-            rgb = voc_color_map()[mask]
-            Image.fromarray(rgb.astype(np.uint8)).save(
+            rgb = voc_color_map()[mask].astype(np.uint8)
+            Image.fromarray(rgb).save(
                 os.path.join(self.out_dir, f"step{step}_seg.png")
             )
+            if self.tb is not None:
+                self.tb.add_image("vis/seg", rgb, step)

@@ -30,7 +30,9 @@ def show_cam_on_image(
     return np.clip(out, 0, 255).astype(np.uint8)
 
 
-def save_overlay(path: str, img: np.ndarray, mask: np.ndarray, **kw) -> None:
+def save_overlay(path: str, img: np.ndarray, mask: np.ndarray, **kw) -> np.ndarray:
     from PIL import Image
 
-    Image.fromarray(show_cam_on_image(img, mask, **kw)).save(path)
+    out = show_cam_on_image(img, mask, **kw)
+    Image.fromarray(out).save(path)
+    return out
