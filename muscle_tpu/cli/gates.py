@@ -37,8 +37,9 @@ def main(argv=None) -> None:
     p.add_argument("--full_size", action="store_true",
                    help="synthetic mode: 375-500px images (else ~1/8 size)")
     p.add_argument("--scales", default="0.5,1.0,1.5,2.0", type=str)
-    p.add_argument("--gates", default="1,1f,2,2e,3,4,5", type=str,
-                   help="subset to run; 1/2 fast paths, 1f=fast single, 2e=exact list")
+    p.add_argument("--gates", default="1,1f,2,2e,3,4,5,6", type=str,
+                   help="subset to run; 1/2 fast paths, 1f=fast single, "
+                        "2e=exact list, 6=end-to-end convergence")
     p.add_argument("--out_dir", default="out/gates", type=str)
     p.add_argument("--platform", default=None, type=str,
                    help="re-point jax (e.g. 'cpu') before the backend "
@@ -56,10 +57,15 @@ def main(argv=None) -> None:
     jax.config.update("jax_default_matmul_precision", "highest")
 
     from muscle_tpu import gates as G
+    from muscle_tpu.cli.common import fetch_weights
     from muscle_tpu.models import MuSCLe
     from muscle_tpu.utils.compile_cache import enable
 
     enable()
+    if args.mcl_weights:
+        args.mcl_weights = fetch_weights(args.mcl_weights)
+    if args.irn_weights:
+        args.irn_weights = fetch_weights(args.irn_weights)
     os.makedirs(args.out_dir, exist_ok=True)
     scales = tuple(float(s) for s in args.scales.split(","))
     want = set(args.gates.split(","))
@@ -122,13 +128,17 @@ def main(argv=None) -> None:
                                       labels, scales, out_side, args.out_dir,
                                       engine_mode="fast"))
         emit(G.gate3_irn_refine(voc_root, names, labels, cam_dir, args.out_dir,
-                                weights=args.irn_weights))
+                                weights=args.irn_weights,
+                                oracle_method="vector" if args.full_size else "square"))
     if "4" in want:
         emit(G.gate4_train_mcl(voc_root, names, labels_path, args.out_dir,
                                backbone="efficientnet-b1", crop=min(crop, 64)))
     if "5" in want:
         emit(G.gate5_train_muscle(voc_root, names, labels_path, args.out_dir,
                                   crop=min(crop, 64)))
+    if "6" in want:
+        emit(G.gate6_convergence(voc_root, names, labels_path, args.out_dir,
+                                 crop=min(crop, 64)))
 
     with open(os.path.join(args.out_dir, "gates_report.json"), "w") as f:
         json.dump(report, f, indent=2)

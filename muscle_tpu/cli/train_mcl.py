@@ -41,6 +41,15 @@ def main(argv=None) -> None:
     p.add_argument("--vis_every", default=25, type=int,
                    help="dump CAM/SGC overlay PNGs under <log_dir>/vis every N "
                         "iters (reference tblogger stream); 0 disables")
+    p.add_argument("--log_every", default=25, type=int,
+                   help="print + metrics.jsonl cadence in iters (reference "
+                        "train_mcl.py:234 prints every 25); 1 logs every step "
+                        "(the gate harness's convergence evidence needs "
+                        "per-step losses)")
+    p.add_argument("--tb", default=1, type=int,
+                   help="also write tensorboard event files under "
+                        "<log_dir>/tb (reference train_mcl.py:102 "
+                        "SummaryWriter); 0 disables")
     p.add_argument("--profile_dir", default=None, type=str,
                    help="capture a jax.profiler trace of steps 10-13 of "
                         "epoch 0 (the reference installs torch-tb-profiler "
@@ -62,6 +71,7 @@ def main(argv=None) -> None:
     )
     from muscle_tpu.training.state import make_adam, save_checkpoint, set_learning_rate
     from muscle_tpu.utils import MetricLogger, Timer, TrainVisualizer
+    from muscle_tpu.utils.tb_events import EventWriter
 
     names, labels = load_lists(args, args.train_list)
     dataset = VOC12ClsPixDataset(names, args.voc12_root, labels, crop_size=args.crop_size)
@@ -97,9 +107,13 @@ def main(argv=None) -> None:
     sched = ReduceLROnPlateau(args.lr, factor=0.5, patience=0, min_lr=1e-5)
     os.makedirs(args.session_name, exist_ok=True)
     mlog = MetricLogger(os.path.join(args.log_dir, "metrics.jsonl"))
+    # tensorboard event stream (the reference's tensorboardX SummaryWriter,
+    # train_mcl.py:102; dependency-free writer, utils/tb_events.py)
+    tb = EventWriter(os.path.join(args.log_dir, "tb")) if args.tb else None
     # CAM/SGC overlay stream (reference train_mcl.py:255-277 tblogger)
     vis = TrainVisualizer(
-        model, os.path.join(args.log_dir, "vis"), mode="cam", every=args.vis_every
+        model, os.path.join(args.log_dir, "vis"), mode="cam", every=args.vis_every,
+        tb=tb,
     )
     timer = Timer()
     rng = jax.random.key(args.seed)
@@ -118,21 +132,30 @@ def main(argv=None) -> None:
                 if cfg.use_pixpro:
                     state, m2 = mcl_views_step(model, tx, state, dev, r2, cfg)
                     metrics.update(m2)
-                if it % 25 == 0:
+                if it % args.log_every == 0:
                     vals = {k: float(v) for k, v in metrics.items()}
                     ips = (it + 1) * args.batch_size / timer.stage_elapsed()
                     print(f"ep {ep} it {it} " + " ".join(f"{k}:{v:.4f}" for k, v in vals.items())
                           + f" imps:{ips:.1f} lr:{sched.lr:.7f}")
                     mlog.log(int(state.step), **vals, imps=ips, lr=sched.lr)
+                    if tb is not None:
+                        for k, v in vals.items():
+                            tb.add_scalar(f"train/{k}", v, int(state.step))
+                        tb.add_scalar("train/lr", sched.lr, int(state.step))
                 vis.maybe_dump(int(state.step), state, batch)
 
             save_checkpoint(args.session_name, state, ep)
             miou = _rapid_eval(args, model, state)
             print(f"epoch {ep} best train-CAM mIoU {miou:.3f}")
+            if tb is not None:
+                tb.add_scalar("eval/cam_miou", miou, ep)
+                tb.flush()
             new_lr = sched.step(miou)
             state = set_learning_rate(state, new_lr)
             timer.reset_stage()
     mlog.close()
+    if tb is not None:
+        tb.close()
 
 
 def _rapid_eval(args, model, state) -> float:

@@ -38,6 +38,13 @@ def main(argv=None) -> None:
     p.add_argument("--vis_every", default=25, type=int,
                    help="dump seg-mask PNGs under <log_dir>/vis every N iters; "
                         "0 disables")
+    p.add_argument("--log_every", default=25, type=int,
+                   help="print + metrics.jsonl cadence in iters; 1 logs every "
+                        "step (gate-harness convergence evidence)")
+    p.add_argument("--tb", default=1, type=int,
+                   help="also write tensorboard event files under "
+                        "<log_dir>/tb (reference train_muscle.py tblogger); "
+                        "0 disables")
     add_voc_args(p)
     args = p.parse_args(argv)
 
@@ -87,11 +94,16 @@ def main(argv=None) -> None:
     cfg = SegConfig(lamb=args.lamb, step=args.step, k=args.k)
     os.makedirs(args.session_name, exist_ok=True)
     mlog = MetricLogger(os.path.join(args.log_dir, "metrics.jsonl"))
+    # tensorboard event stream (dependency-free, utils/tb_events.py)
+    from muscle_tpu.utils.tb_events import EventWriter
+
+    tb = EventWriter(os.path.join(args.log_dir, "tb")) if args.tb else None
     # seg-mask overlay stream (reference train_muscle.py:206-219 tblogger)
     from muscle_tpu.utils import TrainVisualizer
 
     vis = TrainVisualizer(
-        model, os.path.join(args.log_dir, "vis"), mode="seg", every=args.vis_every
+        model, os.path.join(args.log_dir, "vis"), mode="seg", every=args.vis_every,
+        tb=tb,
     )
     timer = Timer()
     rng = jax.random.key(args.seed)
@@ -101,20 +113,28 @@ def main(argv=None) -> None:
             for it, batch in enumerate(loader.epoch(ep)):
                 rng, r1 = jax.random.split(rng)
                 state, metrics = seg_train_step(model, tx, state, shard_batch(mesh, batch), r1, cfg)
-                if it % 25 == 0:
+                if it % args.log_every == 0:
                     vals = {k: float(v) for k, v in metrics.items()}
                     ips = (it + 1) * args.batch_size / timer.stage_elapsed()
                     print(f"ep {ep} it {it} " + " ".join(f"{k}:{v:.4f}" for k, v in vals.items())
                           + f" imps:{ips:.1f}")
                     mlog.log(int(state.step), **vals, imps=ips, lr=sched.lr)
+                    if tb is not None:
+                        for k, v in vals.items():
+                            tb.add_scalar(f"train/{k}", v, int(state.step))
                 vis.maybe_dump(int(state.step), state, batch)
 
             save_checkpoint(args.session_name, state, ep)
             miou = _val_eval(args, model, state)
             print(f"epoch {ep} val mIoU {miou:.3f}")
+            if tb is not None:
+                tb.add_scalar("eval/seg_miou", miou, ep)
+                tb.flush()
             state = set_learning_rate(state, sched.step(miou))
             timer.reset_stage()
     mlog.close()
+    if tb is not None:
+        tb.close()
 
 
 def _val_eval(args, model, state) -> float:

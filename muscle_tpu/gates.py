@@ -9,8 +9,11 @@ src/evaluation.py:10-84 + infer_mcl.py:107-182):
           torch oracle's maps (mIoU delta <= 0.3).
   gate 3  IRN random-walk refinement -> pseudo-label mIoU, ours vs the
           torch oracle chain (infer_irn.py:62-100).
-  gate 4  MCL contrastive training smoke: N steps, finite + decreasing.
-  gate 5  MuSCLe seg training smoke + CRF'd inference step.
+  gate 4  MCL memorisation: ~100 steps over 2 images must cut the loss
+          >= 20% and every curriculum term must carry a live parameter
+          gradient (per-term jacrev norms).
+  gate 5  MuSCLe seg memorisation (CE + BEACON) + CRF'd inference step,
+          same decrease + grad-liveness contract.
 
 Two operating modes share every code path:
   * real: --voc12_root points at VOC2012 and --weights at the published
@@ -374,10 +377,54 @@ def gate2_cam_tta_miou(model, variables, tmodel, voc_root, names, labels,
     }
 
 
+def oracle_propagate_vector(ref_indexing, x, edge, radius=5, beta=8, exp_times=6):
+    """The reference random walk evaluated by VECTOR ITERATION: the
+    reference computes rw = x @ T^(2^t) via t matrix squarings
+    (indexing.py:116-123, O(t * V^3) — ~46 TFLOP at the 125^2 grid, which
+    made a full-size torch oracle infeasible on this host, STATUS.md r2);
+    iterating rw <- rw @ T 2^t times is the same linear map at
+    O(2^t * C * V^2) (~0.3 TFLOP).  Equivalence to the reference's
+    squaring asserted at small size by
+    tests/test_random_walk.py::test_torch_oracle_vector_equals_squaring."""
+    import torch
+    import torch.nn.functional as F
+
+    height, width = x.shape[-2:]
+    hor_padded = width + radius * 2
+    ver_padded = height + radius
+    path_index = ref_indexing.PathIndex(
+        radius=radius, default_size=(ver_padded, hor_padded)
+    )
+    edge_padded = F.pad(edge, (radius, radius, 0, radius), mode="constant", value=1.0)
+    sparse_aff = ref_indexing.edge_to_affinity(
+        torch.unsqueeze(edge_padded, 0), path_index.path_indices
+    )
+    dense_aff = ref_indexing.affinity_sparse2dense(
+        sparse_aff, path_index.src_indices, path_index.dst_indices,
+        ver_padded * hor_padded,
+    )
+    dense_aff = dense_aff.view(ver_padded, hor_padded, ver_padded, hor_padded)
+    dense_aff = dense_aff[:-radius, radius:-radius, :-radius, radius:-radius]
+    dense_aff = dense_aff.reshape(height * width, height * width)
+
+    scaled = torch.pow(dense_aff, beta)
+    trans = scaled / torch.sum(scaled, dim=0, keepdim=True)
+    del dense_aff, scaled
+    rw = (x.view(-1, height, width) * (1 - edge)).view(-1, height * width)
+    for _ in range(2 ** exp_times):
+        rw = torch.matmul(rw, trans)
+    return rw.view(rw.size(0), 1, height, width)
+
+
 def gate3_irn_refine(voc_root, names, labels, cam_dir, out_dir,
-                     weights: str | None = None, seed: int = 0) -> dict:
+                     weights: str | None = None, seed: int = 0,
+                     oracle_method: str = "square") -> dict:
     """Config #3: random-walk refinement -> hard pseudo-label mIoU, ours vs
-    the torch oracle chain (infer_irn.py:62-100) on the same weights."""
+    the torch oracle chain (infer_irn.py:62-100) on the same weights.
+
+    oracle_method: 'square' = the reference's literal matrix-squaring code;
+    'vector' = the same linear map by vector iteration (full-size runs —
+    see oracle_propagate_vector)."""
     import torch
     import torch.nn.functional as F
     from PIL import Image
@@ -439,7 +486,12 @@ def gate3_irn_refine(voc_root, names, labels, cam_dir, out_dir,
             cams = torch.from_numpy(cam_arr)
             down = F.interpolate(cams.unsqueeze(0), size=edge.shape[1:],
                                  mode="bilinear", align_corners=False)
-            rw = ref_indexing.propagate_to_edge(down, edge, beta=8, exp_times=6, radius=5)
+            if oracle_method == "vector":
+                rw = oracle_propagate_vector(ref_indexing, down, edge,
+                                             beta=8, exp_times=6, radius=5)
+            else:
+                rw = ref_indexing.propagate_to_edge(down, edge, beta=8,
+                                                    exp_times=6, radius=5)
             rw_up = F.interpolate(rw, scale_factor=4, mode="bilinear",
                                   align_corners=False)[..., 0, :h, :w]
             rw_up = rw_up / torch.max(rw_up)
@@ -467,10 +519,67 @@ def gate3_irn_refine(voc_root, names, labels, cam_dir, out_dir,
     }
 
 
-def gate4_train_mcl(voc_root, names, labels_path, out_dir, steps: int = 8,
+def _mcl_grad_norm_liveness(voc_root, names, labels, checkpoint: str,
+                            crop: int = 64,
+                            backbone: str = "efficientnet-b1") -> dict:
+    """Per-term gradient-norm liveness at the gate-4 TRAINED checkpoint
+    (ALL curriculum terms enabled): a term whose value is tiny can still
+    train, and a term whose value is O(1) can be a stop-gradient corpse —
+    the grad norm is the only observable that separates them (round-2
+    verdict weak #1/#3).  Evaluated at the trained point, not random init:
+    maxnorm-based terms (PixPro/EMD) are legitimately flat when every CAM
+    is a relu'd near-constant, so random init would report false deaths.
+    The batch carries two copies of each image so IMC has identical-set
+    positives AND disjoint-set negatives."""
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from muscle_tpu.data.voc12 import get_img_path
+    from muscle_tpu.data import transforms as T
+    from muscle_tpu.models import MuSCLe
+    from muscle_tpu.training import MCLConfig, create_train_state, mcl_term_grad_norms
+    from muscle_tpu.training.state import load_model_msgpack, make_adam
+
+    model = MuSCLe(backbone_name=backbone, mode="enc", last_pooling=False)
+    variables = model.init(
+        {"params": jax.random.key(0)}, jnp.zeros((1, crop, crop, 3)), mode="cam"
+    )
+    variables = load_model_msgpack(checkpoint, variables)
+    state = create_train_state(variables, make_adam(1e-4, 5e-5))
+    rng_np = np.random.default_rng(0)
+    imgs, labs = [], []
+    for n in (names[0], names[0], names[1], names[1]):
+        img = Image.open(get_img_path(n, voc_root)).convert("RGB").resize((crop, crop))
+        imgs.append(T.color_norm(np.asarray(img)))
+        labs.append(labels[n])
+    b = len(imgs)
+    batch = {
+        "img": np.stack(imgs).astype(np.float32),
+        "label": np.stack(labs).astype(np.float32),
+        # scaled-up random views, like the multichip dryrun: near-uniform
+        # CAMs otherwise zero the cosine-cost EMD identically
+        "view1": 4.0 * rng_np.normal(size=(b, crop, crop, 3)).astype(np.float32),
+        "view2": 4.0 * rng_np.normal(size=(b, crop, crop, 3)).astype(np.float32),
+        "coord1": np.tile(np.array([[4, 4, 32, 32]], np.int32), (b, 1)),
+        "coord2": np.tile(np.array([[8, 2, 32, 32]], np.int32), (b, 1)),
+    }
+    # views_train_mode: 100 memorisation steps only partially calibrate the
+    # BN running stats (momentum 0.99) — probe the step-B graph with
+    # train-mode BN so the verdict reflects the graph, not BN calibration
+    return mcl_term_grad_norms(
+        model, state, batch, jax.random.key(1), MCLConfig(True, True, True),
+        views_train_mode=True,
+    )
+
+
+def gate4_train_mcl(voc_root, names, labels_path, out_dir, steps: int = 100,
                     backbone: str = "efficientnet-b1", crop: int = 64) -> dict:
-    """Config #4: MCL training smoke — N steps run, losses finite, the
-    classification loss decreases on the (tiny, memorisable) stream."""
+    """Config #4: MCL memorisation gate — `steps` batches over 2 images must
+    MATERIALLY reduce the loss (>= 20%, first-3-median to last-10-median),
+    and every curriculum loss term must have a live parameter gradient.
+    Matches the reference's training contract (train_mcl.py:152-229: the
+    losses exist to move), not merely 'runs without NaN'."""
     from muscle_tpu.cli import train_mcl
 
     import shutil
@@ -485,13 +594,16 @@ def gate4_train_mcl(voc_root, names, labels_path, out_dir, steps: int = 8,
     # repeat the names so one epoch has `steps` batches of 2
     with open(list_path, "w") as f:
         for i in range(steps * 2):
-            f.write(names[i % len(names)] + "\n")
+            f.write(names[i % 2] + "\n")
     train_mcl.main([
         "--train_list", list_path, "--eval_list", list_path,
         "--voc12_root", voc_root, "--cls_labels", labels_path,
         "--session_name", session, "--log_dir", logd,
         "--backbone", backbone, "--batch_size", "2", "--max_epoches", "1",
         "--crop_size", str(crop), "--vis_every", str(max(steps - 1, 1)),
+        "--log_every", "1", "--lr", "3e-4",  # memorisation config: the
+        # reference's 1e-4 is tuned for 10582 images x 16 epochs, not a
+        # 100-step 2-image run
     ])
     import json as _json
 
@@ -500,25 +612,233 @@ def gate4_train_mcl(voc_root, names, labels_path, out_dir, steps: int = 8,
         for line in open(os.path.join(logd, "metrics.jsonl"))
     ]
     losses = [r["loss"] for r in rows]
+    loss_first = float(np.median(losses[:3]))
+    loss_last = float(np.median(losses[-10:]))
+    decreased = loss_last <= 0.8 * loss_first
     finite = all(np.isfinite(v) for r in rows for k, v in r.items() if k != "step")
+    grad_norms = _mcl_grad_norm_liveness(
+        voc_root, names, np.load(labels_path, allow_pickle=True).item(),
+        os.path.join(session, "model_0.msgpack"), crop=crop, backbone=backbone,
+    )
+    grads_live = all(np.isfinite(v) and v > 1e-7 for v in grad_norms.values())
     vis_dir = os.path.join(logd, "vis")
     vis = os.listdir(vis_dir) if os.path.isdir(vis_dir) else []
     return {
-        "gate": "4_train_mcl_smoke",
+        "gate": "4_train_mcl_memorise",
         "steps": steps,
-        "loss_first": round(float(losses[0]), 4),
-        "loss_last": round(float(losses[-1]), 4),
+        "loss_first": round(loss_first, 4),
+        "loss_last": round(loss_last, 4),
+        "loss_decrease_pct": round(100.0 * (1.0 - loss_last / loss_first), 1),
         "finite": bool(finite),
+        "grad_norms": {k: float(f"{v:.3e}") for k, v in grad_norms.items()},
+        "grads_live": bool(grads_live),
         "checkpoint": os.path.exists(os.path.join(session, "model_0.msgpack")),
         "vis_pngs": len(vis),
-        "passed": bool(finite and os.path.exists(os.path.join(session, "model_0.msgpack"))),
+        "passed": bool(
+            finite and decreased and grads_live
+            and os.path.exists(os.path.join(session, "model_0.msgpack"))
+        ),
         "seconds": round(time.time() - t0, 1),
     }
 
 
-def gate5_train_muscle(voc_root, names, labels_path, out_dir, steps: int = 4,
+def gate6_convergence(voc_root, names, labels_path, out_dir, steps: int = 300,
+                      crop: int = 64, backbone: str = "efficientnet-b1") -> dict:
+    """Config #6 (round-2 verdict item 7): END-TO-END convergence evidence.
+
+    (a) MCL: train `steps` batches on the structured synthetic VOC and
+        assert the epoch-end CAM-mIoU metric (the reference's in-training
+        eval, train_mcl.py:286-318) IMPROVES over the random init — i.e.
+        the contrastive classifier's CAMs actually localise, not merely
+        that losses fall.
+    (b) seg: train on GT-aligned soft pseudo-masks and assert val seg mIoU
+        improves over init (train_muscle.py:224-283's metric).
+
+    Runs the training loops in-process (gates 4/5 cover the CLI plumbing)
+    so init and final evals share one model instance.
+    """
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from muscle_tpu.data import transforms as T
+    from muscle_tpu.data.voc12 import get_img_path
+    from muscle_tpu.evaluation import confusion_matrix, iou_from_confusion, threshold_sweep
+    from muscle_tpu.inference import CamTTAEngine, SegTTAEngine
+    from muscle_tpu.models import MuSCLe
+    from muscle_tpu.training import (
+        MCLConfig,
+        SegConfig,
+        create_train_state,
+        mcl_train_step,
+        seg_train_step,
+    )
+    from muscle_tpu.training.state import make_adam
+
+    t0 = time.time()
+    labels = np.load(labels_path, allow_pickle=True).item()
+    imgs = [Image.open(get_img_path(n, voc_root)).convert("RGB") for n in names]
+    gts = [
+        np.array(Image.open(os.path.join(voc_root, "SegmentationClass", n + ".png")))
+        for n in names
+    ]
+    labs = [labels[n] for n in names]
+    rng_np = np.random.default_rng(0)
+    batch_imgs = np.stack(
+        [T.color_norm(np.asarray(im.resize((crop, crop)))) for im in imgs]
+    ).astype(np.float32)
+    batch_labels = np.stack(labs).astype(np.float32)
+
+    side = -(-max(max(im.size) for im in imgs) // 64) * 64
+    max_side = max(max(im.size) for im in imgs)
+
+    # ---- (a) MCL: CAM mIoU before/after -----------------------------------
+    def cam_miou(model, variables, tag):
+        d = os.path.join(out_dir, f"gate6_cam_{tag}")
+        os.makedirs(d, exist_ok=True)
+        engine = CamTTAEngine(model, variables, scales=(1.0,),
+                              out_side=side, max_side=max_side)
+        for rec in engine.run_batch(imgs, names, labs):
+            np.save(os.path.join(d, rec["name"] + ".npy"), rec["sgc"])
+        gt_dir = os.path.join(voc_root, "SegmentationClass")
+        return max(
+            r["mIoU"]
+            for r in threshold_sweep(d, gt_dir, names, np.arange(0.20, 0.52, 0.02))
+        )
+
+    model = MuSCLe(backbone_name=backbone, mode="enc", last_pooling=False)
+    variables = model.init(
+        {"params": jax.random.key(0)}, jnp.zeros((1, crop, crop, 3)), mode="cam"
+    )
+    miou_cam_init = cam_miou(model, variables, "init")
+    tx = make_adam(3e-4, 5e-5)  # one instance: tx is a static jit argument
+    state = create_train_state(variables, tx)
+    rng = jax.random.key(1)
+    cfg = MCLConfig(use_imc=True)
+    flipped = np.ascontiguousarray(batch_imgs[:, :, ::-1])
+    for i in range(steps):
+        rng, r1 = jax.random.split(rng)
+        # light augmentation: per-step flip keeps memorisation honest
+        batch = {
+            "img": flipped if i % 2 else batch_imgs,
+            "label": batch_labels,
+        }
+        state, m = mcl_train_step(model, tx, state, batch, r1, cfg)
+    trained = {"params": state.params, "batch_stats": state.batch_stats}
+    miou_cam_final = cam_miou(model, trained, "final")
+
+    # ---- (b) seg: val mIoU before/after ------------------------------------
+    def seg_miou(model, variables):
+        engine = SegTTAEngine(model, variables, scales=(1.0,),
+                              out_side=side, max_side=max_side)
+        conf = np.zeros((21, 21), np.int64)
+        for rec, gt in zip(engine.run_batch(imgs, names), gts):
+            conf += confusion_matrix(
+                np.argmax(rec["probs"], axis=-1).astype(np.uint8), gt, 21
+            )
+        return iou_from_confusion(conf)["mIoU"]
+
+    dec = MuSCLe(
+        backbone_name=backbone, mode="dec", bifpn_layers=1, last_pooling=True
+    )
+    dec_vars = dec.init(
+        {"params": jax.random.key(2)}, jnp.zeros((1, crop, crop, 3)), mode="seg"
+    )
+    miou_seg_init = seg_miou(dec, dec_vars)
+    tx_seg = make_adam(3e-4, 1e-5)
+    seg_state = create_train_state(dec_vars, tx_seg)
+    # GT-aligned soft pseudo-masks at crop size
+    masks = []
+    for gt in gts:
+        g = np.asarray(
+            Image.fromarray(gt).resize((crop, crop), Image.NEAREST), np.int32
+        )
+        g = np.where(g == 255, 0, g)
+        soft = np.full((crop, crop, 21), 0.05, np.float32)
+        for c in range(21):
+            soft[..., c][g == c] = 1.0
+        masks.append(soft)
+    batch_s = {
+        "img": batch_imgs,
+        "label": batch_labels,
+        "mask": np.stack(masks),
+    }
+    scfg = SegConfig(k=32)
+    for i in range(steps):
+        rng, r1 = jax.random.split(rng)
+        seg_state, m = seg_train_step(dec, tx_seg, seg_state, batch_s, r1, scfg)
+    trained_dec = {"params": seg_state.params, "batch_stats": seg_state.batch_stats}
+    miou_seg_final = seg_miou(dec, trained_dec)
+
+    return {
+        "gate": "6_convergence",
+        "steps": steps,
+        "cam_miou_init": round(float(miou_cam_init), 4),
+        "cam_miou_final": round(float(miou_cam_final), 4),
+        "seg_miou_init": round(float(miou_seg_init), 4),
+        "seg_miou_final": round(float(miou_seg_final), 4),
+        "passed": bool(
+            miou_cam_final > miou_cam_init + 1.0
+            and miou_seg_final > miou_seg_init + 5.0
+        ),
+        "seconds": round(time.time() - t0, 1),
+    }
+
+
+def _seg_grad_norm_liveness(voc_root, names, labels, mask_dir, checkpoint: str,
+                            crop: int = 64) -> dict:
+    """Per-term (CE, BEACON) gradient-norm liveness at the gate-5 trained
+    checkpoint — see _mcl_grad_norm_liveness."""
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from muscle_tpu.data.voc12 import get_img_path
+    from muscle_tpu.data import transforms as T
+    from muscle_tpu.models import MuSCLe
+    from muscle_tpu.training import SegConfig, create_train_state, seg_term_grad_norms
+    from muscle_tpu.training.state import load_model_msgpack, make_adam
+
+    model = MuSCLe(
+        backbone_name="efficientnet-b1", mode="dec", bifpn_layers=1, last_pooling=True
+    )
+    variables = model.init(
+        {"params": jax.random.key(0)}, jnp.zeros((1, crop, crop, 3)), mode="seg"
+    )
+    variables = load_model_msgpack(checkpoint, variables)
+    state = create_train_state(variables, make_adam(1e-5, 1e-5))
+    imgs, labs, masks = [], [], []
+    for n in names[:2]:
+        img = Image.open(get_img_path(n, voc_root)).convert("RGB").resize((crop, crop))
+        imgs.append(T.color_norm(np.asarray(img)))
+        labs.append(labels[n])
+        soft = np.load(os.path.join(mask_dir, n + ".npy")).astype(np.float32)
+        m = np.stack(
+            [
+                np.asarray(
+                    Image.fromarray(soft[..., c]).resize((crop, crop), Image.BILINEAR)
+                )
+                for c in range(soft.shape[-1])
+            ],
+            axis=-1,
+        )
+        masks.append(m)
+    batch = {
+        "img": np.stack(imgs).astype(np.float32),
+        "label": np.stack(labs).astype(np.float32),
+        "mask": np.stack(masks).astype(np.float32),
+    }
+    return seg_term_grad_norms(
+        model, state, batch, jax.random.key(1), SegConfig(k=32)
+    )
+
+
+def gate5_train_muscle(voc_root, names, labels_path, out_dir, steps: int = 100,
                        crop: int = 64) -> dict:
-    """Config #5: seg training smoke (CE + BEACON) + a CRF'd val eval."""
+    """Config #5: seg memorisation gate (CE + BEACON on GT-aligned soft
+    pseudo-masks) + a CRF'd val eval — the loss must fall >= 20% over
+    `steps` batches of 2 images and both loss terms must carry live
+    parameter gradients (reference contract: train_muscle.py:168-203)."""
     from PIL import Image
 
     from muscle_tpu.cli import train_muscle
@@ -547,7 +867,7 @@ def gate5_train_muscle(voc_root, names, labels_path, out_dir, steps: int = 4,
     list_path = os.path.join(out_dir, "gate5_list.txt")
     with open(list_path, "w") as f:
         for i in range(steps * 2):
-            f.write(names[i % len(names)] + "\n")
+            f.write(names[i % 2] + "\n")
     train_muscle.main([
         "--train_list", list_path, "--eval_list", list_path,
         "--voc12_root", voc_root, "--cls_labels", labels_path,
@@ -555,19 +875,36 @@ def gate5_train_muscle(voc_root, names, labels_path, out_dir, steps: int = 4,
         "--pretrained", "b1", "--bifpn", "1", "--batch_size", "2",
         "--max_epoches", "1", "--crop_size", str(crop), "--k", "32",
         "--crf", "1", "--vis_every", str(max(steps - 1, 1)),
+        "--log_every", "1", "--lr", "3e-4",  # memorisation lr (the
+        # reference's 1e-5 is a full-dataset fine-tuning rate)
     ])
     import json as _json
 
     rows = [_json.loads(line) for line in open(os.path.join(logd, "metrics.jsonl"))]
+    losses = [r["loss"] for r in rows]
+    loss_first = float(np.median(losses[:3]))
+    loss_last = float(np.median(losses[-10:]))
+    decreased = loss_last <= 0.8 * loss_first
     finite = all(np.isfinite(v) for r in rows for k, v in r.items() if k != "step")
+    grad_norms = _seg_grad_norm_liveness(
+        voc_root, names, np.load(labels_path, allow_pickle=True).item(),
+        mask_dir, os.path.join(session, "model_0.msgpack"), crop=crop,
+    )
+    grads_live = all(np.isfinite(v) and v > 1e-7 for v in grad_norms.values())
     return {
-        "gate": "5_train_muscle_smoke",
+        "gate": "5_train_muscle_memorise",
         "steps": steps,
-        "loss_first": round(float(rows[0]["loss"]), 4),
-        "loss_last": round(float(rows[-1]["loss"]), 4),
+        "loss_first": round(loss_first, 4),
+        "loss_last": round(loss_last, 4),
+        "loss_decrease_pct": round(100.0 * (1.0 - loss_last / loss_first), 1),
         "loss_beacon_last": round(float(rows[-1]["loss_beacon"]), 6),
         "finite": bool(finite),
+        "grad_norms": {k: float(f"{v:.3e}") for k, v in grad_norms.items()},
+        "grads_live": bool(grads_live),
         "checkpoint": os.path.exists(os.path.join(session, "model_0.msgpack")),
-        "passed": bool(finite and os.path.exists(os.path.join(session, "model_0.msgpack"))),
+        "passed": bool(
+            finite and decreased and grads_live
+            and os.path.exists(os.path.join(session, "model_0.msgpack"))
+        ),
         "seconds": round(time.time() - t0, 1),
     }

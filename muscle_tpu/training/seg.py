@@ -33,6 +33,40 @@ def cross_entropy(seg_logits: jax.Array, hard_mask: jax.Array) -> jax.Array:
     return -jnp.mean(picked)
 
 
+def seg_term_grad_norms(model, state, batch, rng,
+                        cfg: SegConfig = SegConfig()) -> dict:
+    """Per-term parameter-gradient norms for the seg losses (CE + BEACON) —
+    see training/mcl.py mcl_term_grad_norms for the rationale."""
+    import optax
+
+    label_bg = attach_bg_channel(batch["label"])
+    hard_mask = jnp.argmax(batch["mask"], axis=-1)
+
+    def terms(params):
+        (seg_map, dense_ft), _ = model.apply(
+            {"params": params, "batch_stats": state.batch_stats},
+            batch["img"], mode="seg", train=True,
+            mutable=["batch_stats"], rngs={"dropout": rng},
+        )
+        flc = FieldLossConfig(
+            num_classes=seg_map.shape[-1], k=cfg.k, step=cfg.step, beta=cfg.beta
+        )
+        l_beacon, _ = field_loss(seg_map, dense_ft, batch["mask"], label_bg, rng, flc)
+        return {"seg": cross_entropy(seg_map, hard_mask), "beacon": l_beacon}
+
+    keys = sorted(jax.eval_shape(terms, state.params))
+
+    def stacked(params):
+        d = terms(params)
+        return jnp.stack([d[k] for k in keys])
+
+    jac = jax.jacrev(stacked)(state.params)
+    return {
+        k: float(optax.global_norm(jax.tree.map(lambda x: x[i], jac)))
+        for i, k in enumerate(keys)
+    }
+
+
 @functools.partial(jax.jit, static_argnames=("model", "tx", "cfg"), donate_argnums=(2,))
 def seg_train_step(model, tx, state, batch, rng, cfg: SegConfig):
     """batch: img (N,H,W,3), mask (N,H,W,C) soft, label (N,20)."""

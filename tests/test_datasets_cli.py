@@ -162,6 +162,9 @@ def test_train_mcl_cli_one_epoch(mini_voc, tmp_path):
     # observability: CAM/SGC overlay PNGs stream under <log_dir>/vis
     vis = list((tmp_path / "logs" / "vis").glob("step*_cls*_sgc.png"))
     assert vis, "training visualizer produced no overlay PNGs"
+    # tensorboard event stream (utils/tb_events.py; reference tblogger)
+    ev = list((tmp_path / "logs" / "tb").glob("events.out.tfevents.*"))
+    assert ev and ev[0].stat().st_size > 0, "no tensorboard event file"
 
     # artifact chain: the trained checkpoint drives the CAM inference CLI
     from muscle_tpu.cli import infer_mcl

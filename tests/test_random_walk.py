@@ -124,3 +124,30 @@ def test_padding_with_walls_is_exact():
         propagate_to_edge(jnp.asarray(cam_p), jnp.asarray(edge_p), exp_times=3)
     )
     np.testing.assert_allclose(padded[:, :h, :w], base, rtol=1e-3, atol=1e-5)
+
+
+def test_torch_oracle_vector_equals_squaring():
+    """The full-size gate-3 oracle (gates.oracle_propagate_vector) iterates
+    rw @ T 2^t times instead of squaring T t times — the same linear map;
+    assert equality against the reference's literal matrix-squaring code at
+    a small size (the verdict's precondition for trusting the full-size
+    oracle)."""
+    import torch
+
+    from src import indexing as ref_indexing
+    from muscle_tpu.gates import oracle_propagate_vector
+
+    # the reference walk hardcodes .cuda() (indexing.py:84,111) — no-op it
+    orig_cuda = torch.Tensor.cuda
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    try:
+        rng = np.random.default_rng(7)
+        h, w = 20, 28
+        cam = torch.from_numpy(rng.uniform(0, 1, (1, 3, h, w)).astype(np.float32))
+        edge = torch.from_numpy(rng.uniform(0, 0.6, (1, h, w)).astype(np.float32))
+        want = ref_indexing.propagate_to_edge(cam, edge, radius=5, beta=8, exp_times=4)
+        got = oracle_propagate_vector(ref_indexing, cam, edge, radius=5, beta=8,
+                                      exp_times=4)
+    finally:
+        torch.Tensor.cuda = orig_cuda
+    np.testing.assert_allclose(got.numpy(), want.numpy(), rtol=1e-4, atol=1e-5)
