@@ -23,15 +23,41 @@ def load_lists(args, list_path: str):
     return names, labels
 
 
+def fetch_weights(path_or_url: str, cache_dir: str | None = None) -> str:
+    """Resolve a checkpoint argument to a local file: local paths pass
+    through; http(s)/file URLs are downloaded once into a cache keyed by
+    basename (the reference's operational mode — from_pretrained pulls
+    adv-efficientnet weights off GitHub, utils.py:312-322 — made turnkey:
+    `--weights <url>` goes straight to a running model with zero edits)."""
+    if "://" not in path_or_url:
+        return path_or_url
+    import urllib.parse
+    import urllib.request
+
+    cache_dir = cache_dir or os.environ.get(
+        "MUSCLE_TPU_CACHE", os.path.expanduser("~/.cache/muscle_tpu")
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    name = os.path.basename(urllib.parse.urlparse(path_or_url).path) or "weights.pth"
+    dest = os.path.join(cache_dir, name)
+    if not os.path.exists(dest):
+        tmp = dest + ".part"
+        urllib.request.urlretrieve(path_or_url, tmp)
+        os.replace(tmp, dest)
+    return dest
+
+
 def load_model_variables(weights: str | None, model, example_shape, mode: str):
     """Init a model and optionally load a checkpoint (.pth torch state dict
-    via the converter, or an orbax/msgpack flax checkpoint)."""
+    via the converter, or an orbax/msgpack flax checkpoint).  ``weights``
+    may be a local path or an http(s) URL (cached, see fetch_weights)."""
     import jax
     import jax.numpy as jnp
 
     x = jnp.zeros(example_shape, jnp.float32)
     variables = model.init({"params": jax.random.key(0)}, x, mode=mode)
     if weights:
+        weights = fetch_weights(weights)
         if weights.endswith(".pth") or weights.endswith(".ckpt"):
             from muscle_tpu.convert import convert_muscle_state_dict, load_torch_checkpoint
 

@@ -45,13 +45,24 @@ def main(argv=None) -> None:
     import jax
     import jax.numpy as jnp
 
+    from muscle_tpu.cli.common import fetch_weights
     from muscle_tpu.convert import convert_irn_state_dict, load_torch_checkpoint
     from muscle_tpu.inference import RandomWalkRefiner
     from muscle_tpu.models import EdgeDisplacement
 
     model = EdgeDisplacement()
-    sd = load_torch_checkpoint(args.irn_weights_name)
-    variables = convert_irn_state_dict(sd)
+    weights = fetch_weights(args.irn_weights_name)
+    if weights.endswith(".msgpack"):
+        # a muscle_tpu train_irn checkpoint instead of a published .pth
+        from muscle_tpu.training.state import load_model_msgpack
+
+        init = model.init(
+            {"params": jax.random.key(0)}, jnp.zeros((2, 64, 64, 3), jnp.float32)
+        )
+        variables = load_model_msgpack(weights, init)
+    else:
+        sd = load_torch_checkpoint(weights)
+        variables = convert_irn_state_dict(sd)
 
     refiner = RandomWalkRefiner(
         model, variables, beta=args.beta, exp_times=args.exp_times,

@@ -46,7 +46,10 @@ class RandomWalkRefiner:
         f16, upsampled to image size on host — ~3 MB/image, same family
         of bounded deviations as the TTA engines (DEVIATIONS.md #9/#13;
         bounded by tests/test_inference.py).
-      max_classes: fast_io per-image class budget (VOC rarely exceeds 4).
+      max_classes: fast_io per-image class budget FLOOR — each size-bucket
+        group sizes its actual budget to the largest CAM dict in the group
+        (a per-program shape constant), so classes are never dropped; the
+        floor only bounds recompiles.
     """
 
     def __init__(
@@ -176,9 +179,11 @@ class RandomWalkRefiner:
 
     def _refine_fast_for(self, crop: int):
         """fast_io batched program: YCbCr canvases + K-channel f16 CAMs in,
-        (B, 21, grid, grid) f16 normalised walk scores out (bg channel 0).
-        The /max normalisation commutes with the host upsample because a
-        bilinear field attains its extrema at the nodes."""
+        (B, 21, grid, grid) f16 walk scores out (bg channel 0).  The device
+        divides by the node max only as an f16 precision pre-scale; the
+        exact reference /max (over the upsampled, cropped field,
+        infer_irn.py:79-80) happens on host after the upsample — the
+        composition is scale-invariant, so the pre-scale drops out."""
         if crop in self._refine_fast_cache:
             return self._refine_fast_cache[crop]
         from muscle_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
@@ -308,7 +313,10 @@ class RandomWalkRefiner:
         from muscle_tpu.data.tta import pack_canvas_ycbcr
 
         b = len(pil_images)
-        k = self.max_classes
+        # size the class budget to the group's largest CAM dict (k is a
+        # per-program shape constant, so a rare 5+-class image only costs
+        # one extra compile — never a silently dropped class)
+        k = max(self.max_classes, max((len(cd) for cd in cam_dicts), default=1))
         names = [str(i) for i in range(b)]
         y, c, sizes, transposed = pack_canvas_ycbcr(
             pil_images, names, crop, tight=False
@@ -316,7 +324,7 @@ class RandomWalkRefiner:
         cam_vals = np.zeros((b, k, crop, crop), np.float16)
         cam_idx = np.full((b, k), 20, np.int32)  # pad -> dropped channel
         for i, cd in enumerate(cam_dicts):
-            for j, (cls, v) in enumerate(sorted(cd.items())[:k]):
+            for j, (cls, v) in enumerate(sorted(cd.items())):
                 h, w = sizes[i]
                 cam_vals[i, j, :h, :w] = np.asarray(v, np.float16)
                 cam_idx[i, j] = cls
@@ -329,8 +337,21 @@ class RandomWalkRefiner:
             np.float32,
         )
         results = []
+        grid = crop // self.stride
         for i in range(b):
             h, w = sizes[i]
+            # replicate the last valid row/col one step into the pad: the
+            # half-pixel 4x upsample's support reaches one node past the
+            # window edge, and the reference's unpadded interpolate CLAMPS
+            # there instead of blending with pad zeros (infer_irn.py:79)
+            eh = (h - 1) // self.stride + 1
+            ew = (w - 1) // self.stride + 1
+            if eh < grid:
+                outs[i, :, eh, :ew] = outs[i, :, eh - 1, :ew]
+            if ew < grid:
+                outs[i, :, : min(eh + 1, grid), ew] = outs[
+                    i, :, : min(eh + 1, grid), ew - 1
+                ]
             chans = [
                 np.asarray(
                     Image.fromarray(
@@ -340,7 +361,15 @@ class RandomWalkRefiner:
                 )[:h, :w]
                 for ch in range(outs.shape[1])
             ]
-            results.append(np.stack(chans, axis=-1))
+            out = np.stack(chans, axis=-1)
+            # The reference normalises AFTER the upsample over the cropped
+            # window (infer_irn.py:79-80); the device's node-max division is
+            # only an f16 precision pre-scale (the composition is scale-
+            # invariant), so renormalise the fg channels here for exact
+            # /max semantics — the upsampled field's max can sit below the
+            # node max the device divided by.
+            out[..., 1:] /= max(float(out[..., 1:].max()), 1e-12)
+            results.append(out)
         return results
 
     def to_png_labels(self, scores_hwc: np.ndarray) -> np.ndarray:

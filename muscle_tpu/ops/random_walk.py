@@ -239,6 +239,21 @@ def propagate_to_edge(
     return rw.reshape(c, h, w)
 
 
+def _backend_is_tpu() -> bool:
+    """True when the default backend drives real TPU hardware, including
+    relayed platforms whose name is not 'tpu' (this deployment registers as
+    'axon'; jax.default_backend() would silently disable the Pallas path on
+    the production chip).  Decide from the device kind, which names the TPU
+    generation regardless of the platform plugin."""
+    if jax.default_backend() == "tpu":
+        return True
+    try:
+        d = jax.devices()[0]
+    except Exception:
+        return False
+    return "tpu" in (d.device_kind or "").lower() or "tpu" in (d.platform or "").lower()
+
+
 def _round_up_128(x: int) -> int:
     return (x + 127) // 128 * 128
 
@@ -315,9 +330,7 @@ def propagate_to_edge_stencil(
         from muscle_tpu.ops.pallas.stencil_walk import vmem_fits
 
         hp8, wp128 = (h + 7) // 8 * 8, _round_up_128(w)
-        use_pallas = (
-            jax.default_backend() == "tpu" and vmem_fits(c, len(dirs), hp8, wp128)
-        )
+        use_pallas = _backend_is_tpu() and vmem_fits(c, len(dirs), hp8, wp128)
 
     if use_pallas:
         hp, wp = (h + 7) // 8 * 8, _round_up_128(w)
