@@ -52,8 +52,9 @@ def _front_kernel(
     # (the full image bounds when no placement window is in play — masking
     # is ALWAYS applied: the zero-padded halo and the band padding must not
     # leak bn-bias patterns into the depthwise conv or the SE sums)
-    x_hbm,  # (B, H + 2p, W + 2p, Cin) prepadded input, stays in HBM
-    wexp_ref,  # (Cin, Cmid) expand kernel ((1,1) conv) — identity-free when None
+    x_hbm,  # (B, H + 2p, Wpad, Cpad) prepadded input, stays in HBM
+    wexp_ref,  # (Cpad, Cmid) expand kernel ((1,1) conv); identity rows when
+    # the block has no expand (the matmul then just drops the lane padding)
     s0_ref,  # (1, Cmid) folded bn0 scale
     b0_ref,  # (1, Cmid) folded bn0 bias
     wdw_ref,  # (k * k, Cmid) depthwise weights
@@ -67,7 +68,8 @@ def _front_kernel(
     k: int,
     bh: int,
     width: int,
-    cin: int,
+    wpad: int,  # padded row width (>= width + 2p, multiple of 8 for the DMA)
+    cpad: int,  # padded input channels (multiple of 128 for the DMA)
     cmid: int,
     has_expand: bool,
     compute_dtype,
@@ -82,16 +84,14 @@ def _front_kernel(
     copy.start()
     copy.wait()
 
-    xs = xs_ref[:]  # (bh + 2p, W + 2p, Cin)
+    xs = xs_ref[:]  # (bh + 2p, Wpad, Cpad)
+    flat = xs.reshape((bh + 2 * p) * wpad, cpad)
+    e = jnp.dot(
+        flat, wexp_ref[:], preferred_element_type=jnp.float32
+    ).reshape(bh + 2 * p, wpad, cmid)
     if has_expand:
-        flat = xs.reshape((bh + 2 * p) * (width + 2 * p), cin)
-        e = jnp.dot(
-            flat, wexp_ref[:], preferred_element_type=jnp.float32
-        ).reshape(bh + 2 * p, width + 2 * p, cmid)
         e = e * s0_ref[0] + b0_ref[0]
         e = e * jax.nn.sigmoid(e)  # swish
-    else:
-        e = xs.astype(jnp.float32)
 
     oy = win_ref[b, 0]
     ox = win_ref[b, 1]
@@ -102,12 +102,13 @@ def _front_kernel(
         # mask the expand output so the depthwise kernel sees the zeros the
         # reference's SAME conv sees (bn0's bias makes the halo nonzero);
         # row/col coords include the p pad
-        rows = jax.lax.broadcasted_iota(jnp.int32, (bh + 2 * p, width + 2 * p), 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (bh + 2 * p, width + 2 * p), 1)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (bh + 2 * p, wpad), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (bh + 2 * p, wpad), 1)
         rglob = rows + band * bh - p  # unpadded row coordinate
         cglob = cols - p
         m = (rglob >= oy) & (rglob < oy + wh) & (cglob >= ox) & (cglob < ox + ww)
-        e = e * m[:, :, None].astype(e.dtype)
+        # cast BEFORE the minor-dim insert: Mosaic can't reshape i1 vectors
+        e = e * m.astype(jnp.float32)[:, :, None]
 
     e = e.astype(compute_dtype)
     acc = jnp.zeros((bh, width, cmid), jnp.float32)
@@ -123,17 +124,19 @@ def _front_kernel(
     rows = jax.lax.broadcasted_iota(jnp.int32, (bh, width), 0) + band * bh
     cols = jax.lax.broadcasted_iota(jnp.int32, (bh, width), 1)
     m = (rows >= oy) & (rows < oy + wh) & (cols >= ox) & (cols < ox + ww)
-    d = d * m[:, :, None].astype(d.dtype)
+    d = d * m.astype(jnp.float32)[:, :, None]
 
     d_ref[0] = d.astype(d_ref.dtype)
-    ssum_ref[0, 0] = jnp.sum(d, axis=(0, 1))
+    # (8, cmid) broadcast: Mosaic requires the block's second-to-last dim
+    # divisible by 8 (a (1, 1, cmid) block is unlowerable); row 0 is read
+    ssum_ref[0, 0] = jnp.broadcast_to(jnp.sum(d, axis=(0, 1))[None], (8, d.shape[-1]))
 
 
 def _back_kernel(
     win_ref,  # (B, 4) int32 SMEM
     d_ref,  # (1, bh, W, Cmid)
     x_ref,  # (1, bh, W, Cin)
-    se_ref,  # (1, Cmid) per-image SE gate
+    se_ref,  # (1, 8, Cmid) per-image SE gate (8-row broadcast for tiling)
     wpr_ref,  # (Cmid, Cout)
     s2_ref,  # (1, Cout)
     b2_ref,  # (1, Cout)
@@ -147,7 +150,7 @@ def _back_kernel(
 ):
     b = pl.program_id(0)
     band = pl.program_id(1)
-    d = d_ref[0].astype(jnp.float32) * se_ref[0].astype(jnp.float32)
+    d = d_ref[0].astype(jnp.float32) * se_ref[0, 0][None, None].astype(jnp.float32)
     flat = d.astype(compute_dtype).reshape(bh * width, cmid)
     y = jnp.dot(flat, wpr_ref[:], preferred_element_type=jnp.float32)
     y = y.reshape(bh, width, cout) * s2_ref[0] + b2_ref[0]
@@ -159,20 +162,23 @@ def _back_kernel(
     rows = jax.lax.broadcasted_iota(jnp.int32, (bh, width), 0) + band * bh
     cols = jax.lax.broadcasted_iota(jnp.int32, (bh, width), 1)
     m = (rows >= oy) & (rows < oy + wh) & (cols >= ox) & (cols < ox + ww)
-    y = y * m[:, :, None].astype(y.dtype)
+    y = y * m.astype(jnp.float32)[:, :, None]
     y_ref[0] = (y + x_ref[0].astype(jnp.float32)).astype(y_ref.dtype)
 
 
-def _pick_band(h: int, w: int, cmid: int, k: int, vmem_budget: int = 10 << 20) -> int:
+def _pick_band(
+    h: int, w: int, cmid: int, cpad: int, k: int, vmem_budget: int = 10 << 20
+) -> int:
     """Largest output band height (multiple of 8, dividing into ceil bands)
     whose working set fits the VMEM budget."""
     p = k // 2
+    wpad = -(-(w + 2 * p) // 8) * 8
     for bh in (64, 32, 16, 8):
         if bh > h:
             continue
         bytes_ = (
-            (bh + 2 * p) * (w + 2 * p) * cmid * 4  # e (f32 worst case)
-            + (bh + 2 * p) * (w + 2 * p) * max(cmid, 128) * 2  # xs bf16-ish
+            (bh + 2 * p) * wpad * cmid * 4  # e (f32 worst case)
+            + (bh + 2 * p) * wpad * cpad * 2  # xs scratch (bf16-ish)
             + bh * w * cmid * 4  # acc
         )
         if bytes_ <= vmem_budget:
@@ -215,27 +221,37 @@ def fused_mbconv_stride1(
     else:
         win = window.astype(jnp.int32)
 
+    # lane alignment for the manual HBM DMA: Cin padded to a multiple of 128
+    cpad = -(-cin // 128) * 128
+
     s1, b1 = _fold_bn(params["_bn1"], stats["_bn1"], bn_eps)
     s2, b2 = _fold_bn(params["_bn2"], stats["_bn2"], bn_eps)
     if has_expand:
         wexp = params["_expand_conv"]["kernel"][0, 0]  # (Cin, Cmid)
         s0, b0 = _fold_bn(params["_bn0"], stats["_bn0"], bn_eps)
     else:
-        wexp = jnp.zeros((cin, cmid), x.dtype)  # unused placeholder
+        # identity: the in-kernel matmul then only strips the lane padding
+        wexp = jnp.eye(cin, cmid, dtype=x.dtype)
         s0 = jnp.ones((cmid,), jnp.float32)
         b0 = jnp.zeros((cmid,), jnp.float32)
+    wexp = jnp.pad(wexp, ((0, cpad - cin), (0, 0)))  # zero rows: no effect
 
-    bh = _pick_band(h, w, cmid, k)
+    bh = _pick_band(h, w, cmid, cpad, k)
     nb = -(-h // bh)
     hp = nb * bh  # pad H so bands tile exactly
+    # Mosaic DMA slices need the sublane (second-to-last) extent to be a
+    # multiple of 8 — round the padded row width up; the depthwise slices
+    # stop at 2p + width, so the extra right columns are never read
+    wpad = -(-(w + 2 * p) // 8) * 8
     xp = jnp.pad(
-        x.astype(compute_dtype), ((0, 0), (p, p + hp - h), (p, p), (0, 0))
+        x.astype(compute_dtype),
+        ((0, 0), (p, p + hp - h), (p, wpad - w - p), (0, cpad - cin)),
     )
 
     kern = functools.partial(
         _front_kernel,
-        k=k, bh=bh, width=w, cin=cin, cmid=cmid, has_expand=has_expand,
-        compute_dtype=compute_dtype,
+        k=k, bh=bh, width=w, wpad=wpad, cpad=cpad, cmid=cmid,
+        has_expand=has_expand, compute_dtype=compute_dtype,
     )
     d, ssum = pl.pallas_call(
         kern,
@@ -244,7 +260,7 @@ def fused_mbconv_stride1(
             grid=(bsz, nb),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
-                pl.BlockSpec((cin, cmid), lambda b, i, *_: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((cpad, cmid), lambda b, i, *_: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, cmid), lambda b, i, *_: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, cmid), lambda b, i, *_: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((k * k, cmid), lambda b, i, *_: (0, 0), memory_space=pltpu.VMEM),
@@ -257,18 +273,23 @@ def fused_mbconv_stride1(
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (1, 1, cmid), lambda b, i, *_: (b, i, 0), memory_space=pltpu.VMEM
+                    (1, 1, 8, cmid), lambda b, i, *_: (b, i, 0, 0),
+                    memory_space=pltpu.VMEM,
                 ),
             ],
             scratch_shapes=[
-                pltpu.VMEM((bh + 2 * p, w + 2 * p, cin), compute_dtype),
+                pltpu.VMEM((bh + 2 * p, wpad, cpad), compute_dtype),
                 pltpu.SemaphoreType.DMA,
             ],
         ),
         out_shape=[
             jax.ShapeDtypeStruct((bsz, hp, w, cmid), compute_dtype),
-            jax.ShapeDtypeStruct((bsz, nb, cmid), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, nb, 8, cmid), jnp.float32),
         ],
+        # Mosaic's default 16 MB scoped-vmem cap undercounts nothing — the
+        # f32 expand temporaries genuinely exceed it on the wide early
+        # stages; v5e has 128 MB VMEM, so grant the kernel half
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
         interpret=interpret,
     )(
         win,
@@ -283,7 +304,7 @@ def fused_mbconv_stride1(
 
     # ---- SE gate (tiny, XLA) ------------------------------------------------
     count = (win[:, 2] * win[:, 3]).astype(jnp.float32)[:, None]
-    se_in = jnp.sum(ssum, axis=1) / count  # (B, Cmid) masked mean
+    se_in = jnp.sum(ssum[:, :, 0, :], axis=1) / count  # (B, Cmid) masked mean
     wr = params["_se_reduce"]["kernel"][0, 0]  # (Cmid, Csq)
     br = params["_se_reduce"]["bias"]
     we = params["_se_expand"]["kernel"][0, 0]  # (Csq, Cmid)
@@ -309,7 +330,7 @@ def fused_mbconv_stride1(
                     (1, bh, w, cin), lambda b, i, *_: (b, i, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
-                pl.BlockSpec((1, cmid), lambda b, i, *_: (b, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 8, cmid), lambda b, i, *_: (b, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((cmid, cout), lambda b, i, *_: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, cout), lambda b, i, *_: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, cout), lambda b, i, *_: (0, 0), memory_space=pltpu.VMEM),
@@ -320,12 +341,13 @@ def fused_mbconv_stride1(
             ),
         ),
         out_shape=jax.ShapeDtypeStruct((bsz, hp, w, cout), x.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
         interpret=interpret,
     )(
         win,
         d,
         xpad,
-        se.astype(jnp.float32),
+        jnp.broadcast_to(se[:, None, :], (bsz, 8, cmid)).astype(jnp.float32),
         params["_project_conv"]["kernel"][0, 0].astype(compute_dtype),
         s2[None].astype(jnp.float32),
         b2[None].astype(jnp.float32),
