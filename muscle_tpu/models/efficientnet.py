@@ -223,22 +223,36 @@ class MBConvBlock(nn.Module):
         makes this canvas forward bit-equal to the unpadded one
         (STATUS.md backlog #1 "HALO").
 
-        fused: inference fast path — run the whole block as two Pallas
-        kernels (ops/pallas/mbconv.py; the XLA lowering is HBM-bound at ~4%
-        MXU on the early stages).  Only taken for eligible stride-1 blocks
-        outside init; ``window`` is the (N, 4) valid-window scalar form of
-        the masks (no mask tensors cross HBM)."""
+        fused: run the whole block as one Pallas kernel
+        (ops/pallas/mbconv.py).  OPT-IN and currently slower than the XLA
+        lowering on v5e (see that module's measured outcome); only taken
+        for eligible stride-1 blocks outside init.  ``window`` is the
+        (N, 4) valid-window scalar form of the masks (no mask tensors
+        cross HBM)."""
         a = self.args
         if (
             fused
             and not train
             and not self.is_initializing()
             and a.stride == 1
-            and a.id_skip
-            and a.input_filters == a.output_filters
+            # the kernel takes the residual iff Cin == Cout; exclude the
+            # (table-absent) id_skip=False Cin==Cout case it can't express
+            and (a.id_skip or a.input_filters != a.output_filters)
             and a.se_ratio
         ):
-            from muscle_tpu.ops.pallas.mbconv import fused_mbconv_stride1
+            from muscle_tpu.ops.pallas.mbconv import (
+                fused_fits_vmem,
+                fused_mbconv_stride1,
+            )
+
+            fused = fused_fits_vmem(
+                x.shape[1], x.shape[2], a.input_filters,
+                a.input_filters * a.expand_ratio, a.output_filters,
+                a.kernel_size, self.dtype,
+            )
+        else:
+            fused = False
+        if fused:
 
             v = self.variables
             return fused_mbconv_stride1(
@@ -319,8 +333,8 @@ class EfficientNet(nn.Module):
     dtype: Any = jnp.float32
 
     fuse_max_in_filters: int = 0  # fuse stride-1 MBConvs with input_filters
-    # <= this many channels as Pallas kernels at inference (0 disables; the
-    # sub-128-channel early stages are where the XLA lowering is HBM-bound)
+    # <= this many channels as Pallas kernels at inference (0 disables;
+    # OPT-IN — measured slower than XLA on v5e, see ops/pallas/mbconv.py)
 
     @nn.compact
     def __call__(

@@ -1,32 +1,62 @@
-"""Fused MBConv (inference) as two Pallas TPU kernels.
+"""Fused MBConv (inference) as ONE whole-image Pallas TPU kernel.
 
 The XLA lowering of an MBConv block (models/efficientnet.py MBConvBlock;
 reference src/efficientnet_pytorch/model.py:67-94) round-trips the 6x
 expanded feature map through HBM ~5 times (expand out, depthwise in/out,
-SE read, project in) — measured ~4% MXU / 0.15 TB/s effective on the b3
-early stages (STATUS.md r2 backlog #2), i.e. the backbone is HBM-bound.
-This module fuses the block into TWO kernels so the expanded tensor
-crosses HBM exactly twice:
+SE read, project in).  This kernel runs the ENTIRE block per image in
+one grid step with everything resident in VMEM, so HBM sees exactly two
+tensors: x in, y out.
 
-  kernel A (row-band grid, manual halo DMA):
-      e = swish(bn0(expand_1x1(x)))        [skipped when expand_ratio == 1]
-      e = e * window_mask_in               [padded-canvas exact mode]
-      d = swish(bn1(depthwise_kxk(e)))     [stride 1]
-      d = d * window_mask_out
-      out: d  (+ per-band channel sums for SE)
-  XLA glue (tiny): se = sigmoid(se_expand(swish(se_reduce(sum/count))))
-  kernel B (plain blocked grid):
-      y = bn2(project_1x1(d * se)) * window_mask_out + x
+MEASURED OUTCOME (v5e, tools/stage_bench.py --reps 120, RTT amortised):
+XLA wins.  The round-2 "1.9-4.6 ms/block, ~4% MXU" numbers that
+motivated this kernel were contaminated by the axon relay's ~25 ms
+result-fetch RTT at --reps 20; at --reps 120 the XLA block runs
+0.37-3.2 ms (s4..s1), ~0.44 TB/s effective INCLUDING its ~5 crossings
+of e — near the HBM roofline.  This kernel measures 0.56-3.4 ms, 1.1x
+(s1) to 2.6x (s3/s5) SLOWER: tools/mbconv_bisect.py shows the floor is
+Mosaic codegen on sub-128-channel NHWC, not the algorithm — the pure
+load/store skeleton alone (copyonly) runs at 0.15 TB/s (64-byte lane
+rows at c32), and the expand matmul reaches ~9 TFLOP/s bf16 (K=32 and a
+non-sublane-aligned flatten).  A perfect fusion would still win ~10x on
+paper, but it needs a layout Mosaic can move at HBM peak (e.g. a
+flattened (H, W*C) DMA view + in-VMEM relayout), left as a documented
+frontier.  The kernel stays OPT-IN (MuSCLe.fuse_mbconv=0 default,
+parity-tested) and the production path keeps the XLA lowering.
 
-BN is inference-mode (running stats) and folded to per-channel
-scale/bias OUTSIDE the kernels.  Only stride-1 blocks are fused (23 of 26
-b3 blocks; the three stride-2 blocks would need strided sublane slices,
-which Mosaic handles poorly — XLA keeps them).  Window masks are computed
-in-kernel from per-image (oy, ox, h, w) scalars, so the exact-canvas mode
-(models/efficientnet.py valid_window) costs no extra HBM traffic.
+  grid = (B,); per image (fori_loop over row bands):
+    band A: e = swish(bn0(expand_1x1(x[band+halo])))   [identity if e1]
+            e = e * window_mask                         [halo re-zeroing]
+            d[band] = swish(bn1(depthwise_kxk(e))) * mask   -> VMEM scratch
+            ssum += sum_hw d[band]                      [SE partials]
+    se = sigmoid(se_expand(swish(se_reduce(ssum / count))))   [in-kernel]
+    band B: y[band] = bn2(project_1x1(d[band] * se)) * mask [+ x[band]]
+
+The band loops are lax.fori_loop (NOT Python-unrolled: Mosaic's stack
+allocator keeps unrolled bands' temporaries live simultaneously and
+OOMs VMEM on 256^2 stages).  The last band overlaps its predecessor
+(start = min(i*bh, h-bh)) — band writes are idempotent and the SE sum
+guards re-counted rows with a row >= i*bh mask.  The spatial pad (k//2
+halo) is applied OUTSIDE by jnp.pad, so band slices never hit a
+boundary condition; the input block is the padded image and Pallas's
+automatic pipelining overlaps the next image's DMA with the current
+image's compute.  There is no manual DMA and therefore no lane/sublane
+alignment constraint — the early stages' 24-96 channel tensors are NOT
+padded to 128 in HBM (Mosaic pads VMEM tiles internally, which costs
+VPU lanes but no bandwidth).
+
+BN is inference-mode (running stats) folded to per-channel scale/bias
+outside the kernel.  Any stride-1 SE block is fusable — with id-skip
+the residual add rides the same kernel; without it (each stage's lead
+block, cin != cout) the add is skipped, matching the Flax path.  The
+stride-2 blocks would halve the output grid mid-kernel; XLA keeps them.
+Window masks come from per-image (oy, ox, h, w) scalars in SMEM so the
+padded-canvas exact mode (models/efficientnet.py valid_window) costs no
+extra HBM traffic; masking is ALWAYS applied — bn biases make the
+zero-pad halo nonzero, and the reference's unpadded TF-SAME convs
+(src/efficientnet_pytorch/utils.py:103-145) must see zeros there.
 
 Parity: tests/test_pallas_mbconv.py asserts <= 1e-5 f32 against the Flax
-block in interpret mode.
+block in interpret mode; tools/stage_bench.py measures the real-chip A/B.
 """
 
 from __future__ import annotations
@@ -38,6 +68,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+_VMEM_LIMIT = 110 << 20  # v5e has 128 MB; leave headroom for the runtime
+
 
 def _fold_bn(bn_params, bn_stats, eps: float):
     """Inference BatchNorm as (scale, bias): y = x * scale + bias."""
@@ -47,148 +79,162 @@ def _fold_bn(bn_params, bn_stats, eps: float):
     return scale, bias
 
 
-def _front_kernel(
+def _lane_pad(c: int) -> int:
+    return -(-c // 128) * 128
+
+
+def _sub_pad(n: int) -> int:
+    return -(-n // 8) * 8
+
+
+def _plan(h: int, w: int, cin: int, cmid: int, cout: int, k: int,
+          compute_dtype):
+    """(band_height, resident_vmem_bytes) for the whole-image kernel,
+    using Mosaic's (8, 128) tile-padded VMEM sizes."""
+    p = k // 2
+    esz = 2 if compute_dtype == jnp.bfloat16 else 4
+    cin_l, cmid_l, cout_l = _lane_pad(cin), _lane_pad(cmid), _lane_pad(cout)
+    x_blk = (h + 2 * p) * _sub_pad(w + 2 * p) * cin_l * esz
+    y_blk = h * _sub_pad(w) * cout_l * esz
+    d_full = h * _sub_pad(w) * cmid_l * esz
+    base = 2 * x_blk + 2 * y_blk + d_full  # x/y double-buffered
+    for bh in (64, 32, 16, 8):
+        bh = min(bh, h)
+        band = (
+            (bh + 2 * p) * _sub_pad(w + 2 * p) * cin_l * esz  # xs slice
+            + (bh + 2 * p) * _sub_pad(w + 2 * p) * cmid_l * (4 + esz)  # e f32+cast
+            + bh * _sub_pad(w) * cmid_l * (4 + 4)  # acc + d f32
+        )
+        if base + band <= (_VMEM_LIMIT - (10 << 20)):
+            return bh, base + band
+    return min(8, h), base
+
+
+def fused_fits_vmem(h: int, w: int, cin: int, cmid: int, cout: int, k: int,
+                    compute_dtype=jnp.bfloat16) -> bool:
+    """Static eligibility check used by MBConvBlock before dispatching."""
+    _, bytes_ = _plan(h, w, cin, cmid, cout, k, compute_dtype)
+    return bytes_ <= (_VMEM_LIMIT - (10 << 20))
+
+
+def _kernel(
     win_ref,  # (B, 4) int32 in SMEM: per-image (oy, ox, h, w) valid window
-    # (the full image bounds when no placement window is in play — masking
-    # is ALWAYS applied: the zero-padded halo and the band padding must not
-    # leak bn-bias patterns into the depthwise conv or the SE sums)
-    x_hbm,  # (B, H + 2p, Wpad, Cpad) prepadded input, stays in HBM
-    wexp_ref,  # (Cpad, Cmid) expand kernel ((1,1) conv); identity rows when
-    # the block has no expand (the matmul then just drops the lane padding)
-    s0_ref,  # (1, Cmid) folded bn0 scale
-    b0_ref,  # (1, Cmid) folded bn0 bias
+    x_ref,  # (1, H + 2p, W + 2p, Cin) spatially prepadded image, VMEM
+    wexp_ref,  # (Cin, Cmid) expand kernel ((1,1) conv); unused when e1
+    s0_ref,  # (8, Cmid) folded bn0 scale (row-broadcast)
+    b0_ref,  # (8, Cmid) folded bn0 bias
     wdw_ref,  # (k * k, Cmid) depthwise weights
-    s1_ref,
+    s1_ref,  # (8, Cmid)
     b1_ref,
-    d_ref,  # out: (1, bh, W, Cmid) band of the depthwise output
-    ssum_ref,  # out: (1, 1, Cmid) f32 per-band channel sums (SE partials)
-    xs_ref,  # scratch: (bh + 2p, W + 2p, Cin)
-    sem,
+    wr_ref,  # (Cmid, Csq) se_reduce
+    br_ref,  # (8, Csq)
+    we_ref,  # (Csq, Cmid) se_expand
+    be_ref,  # (8, Cmid)
+    wpr_ref,  # (Cmid, Cout) project kernel
+    s2_ref,  # (8, Cout)
+    b2_ref,
+    y_ref,  # out: (1, H, W, Cout)
+    d_ref,  # scratch: (H, W, Cmid) depthwise output, whole image
     *,
     k: int,
+    h: int,
+    w: int,
     bh: int,
-    width: int,
-    wpad: int,  # padded row width (>= width + 2p, multiple of 8 for the DMA)
-    cpad: int,  # padded input channels (multiple of 128 for the DMA)
     cmid: int,
     has_expand: bool,
+    has_skip: bool,
     compute_dtype,
 ):
     b = pl.program_id(0)
-    band = pl.program_id(1)
     p = k // 2
-
-    copy = pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(band * bh, bh + 2 * p)], xs_ref, sem
-    )
-    copy.start()
-    copy.wait()
-
-    xs = xs_ref[:]  # (bh + 2p, Wpad, Cpad)
-    flat = xs.reshape((bh + 2 * p) * wpad, cpad)
-    e = jnp.dot(
-        flat, wexp_ref[:], preferred_element_type=jnp.float32
-    ).reshape(bh + 2 * p, wpad, cmid)
-    if has_expand:
-        e = e * s0_ref[0] + b0_ref[0]
-        e = e * jax.nn.sigmoid(e)  # swish
-
+    nb = -(-h // bh)
     oy = win_ref[b, 0]
     ox = win_ref[b, 1]
     wh = win_ref[b, 2]
     ww = win_ref[b, 3]
 
-    if has_expand:
-        # mask the expand output so the depthwise kernel sees the zeros the
-        # reference's SAME conv sees (bn0's bias makes the halo nonzero);
-        # row/col coords include the p pad
-        rows = jax.lax.broadcasted_iota(jnp.int32, (bh + 2 * p, wpad), 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (bh + 2 * p, wpad), 1)
-        rglob = rows + band * bh - p  # unpadded row coordinate
-        cglob = cols - p
-        m = (rglob >= oy) & (rglob < oy + wh) & (cglob >= ox) & (cglob < ox + ww)
-        # cast BEFORE the minor-dim insert: Mosaic can't reshape i1 vectors
-        e = e * m.astype(jnp.float32)[:, :, None]
+    def win_mask(shape, row0, col0):
+        """(rows, cols) valid-window f32 mask; coords are unpadded-image.
+        row0 may be traced (band offset)."""
+        rows = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + row0
+        cols = jax.lax.broadcasted_iota(jnp.int32, shape, 1) + col0
+        m = ((rows >= oy) & (rows < oy + wh)
+             & (cols >= ox) & (cols < ox + ww))
+        # cast before any minor-dim insert: Mosaic can't reshape i1 vectors
+        return m.astype(jnp.float32)
 
-    e = e.astype(compute_dtype)
-    acc = jnp.zeros((bh, width, cmid), jnp.float32)
-    for ky in range(k):
-        for kx in range(k):
-            acc = acc + (
-                e[ky : ky + bh, kx : kx + width, :]
-                * wdw_ref[ky * k + kx][None, None, :]
-            ).astype(jnp.float32)
-    d = acc * s1_ref[0] + b1_ref[0]
-    d = d * jax.nn.sigmoid(d)
+    # ---- band loop A: expand -> depthwise -> d scratch + SE partials ----
+    def band_a(i, ssum):
+        y0 = jnp.minimum(i * bh, h - bh)  # last band overlaps (idempotent)
+        xs = x_ref[0, pl.ds(y0, bh + 2 * p), :, :]
+        if has_expand:
+            flat = xs.reshape((bh + 2 * p) * (w + 2 * p), xs.shape[-1])
+            e = jnp.dot(
+                flat, wexp_ref[:], preferred_element_type=jnp.float32
+            ).reshape(bh + 2 * p, w + 2 * p, cmid)
+            e = e * s0_ref[0] + b0_ref[0]
+            e = e * jax.nn.sigmoid(e)  # swish
+        else:
+            e = xs.astype(jnp.float32)
+        # zero outside the valid window: the halo is bn-bias-coloured and
+        # the reference's SAME conv sees zeros there
+        m = win_mask((bh + 2 * p, w + 2 * p), y0 - p, -p)
+        e = (e * m[:, :, None]).astype(compute_dtype)
 
-    rows = jax.lax.broadcasted_iota(jnp.int32, (bh, width), 0) + band * bh
-    cols = jax.lax.broadcasted_iota(jnp.int32, (bh, width), 1)
-    m = (rows >= oy) & (rows < oy + wh) & (cols >= ox) & (cols < ox + ww)
-    d = d * m.astype(jnp.float32)[:, :, None]
+        acc = jnp.zeros((bh, w, cmid), jnp.float32)
+        for ky in range(k):
+            for kx in range(k):
+                acc = acc + (
+                    e[ky : ky + bh, kx : kx + w, :]
+                    * wdw_ref[ky * k + kx][None, None, :]
+                ).astype(jnp.float32)
+        d = acc * s1_ref[0] + b1_ref[0]
+        d = d * jax.nn.sigmoid(d)
+        d = d * win_mask((bh, w), y0, 0)[:, :, None]
+        d_ref[pl.ds(y0, bh)] = d.astype(d_ref.dtype)
+        # guard rows the previous band already summed (overlap region)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (bh, w), 0) + y0
+        g = (rows >= i * bh).astype(jnp.float32)
+        part = jnp.sum((d * g[:, :, None]).reshape(bh * w, cmid),
+                       axis=0, keepdims=True)  # (1, cmid)
+        return ssum + part
 
-    d_ref[0] = d.astype(d_ref.dtype)
-    # (8, cmid) broadcast: Mosaic requires the block's second-to-last dim
-    # divisible by 8 (a (1, 1, cmid) block is unlowerable); row 0 is read
-    ssum_ref[0, 0] = jnp.broadcast_to(jnp.sum(d, axis=(0, 1))[None], (8, d.shape[-1]))
+    ssum = jax.lax.fori_loop(0, nb, band_a, jnp.zeros((1, cmid), jnp.float32))
 
+    # ---- SE gate, fully in-kernel (8-row broadcast: Mosaic needs >=8
+    # sublanes for the tiny matmuls; row 0 is the value) -----------------
+    count = (wh * ww).astype(jnp.float32)
+    se_in = jnp.broadcast_to(ssum / count, (8, cmid))
+    sq = jnp.dot(se_in.astype(compute_dtype), wr_ref[:],
+                 preferred_element_type=jnp.float32) + br_ref[:]
+    sq = sq * jax.nn.sigmoid(sq)  # swish
+    se = jnp.dot(sq.astype(compute_dtype), we_ref[:],
+                 preferred_element_type=jnp.float32) + be_ref[:]
+    se = jax.nn.sigmoid(se)  # (8, cmid)
 
-def _back_kernel(
-    win_ref,  # (B, 4) int32 SMEM
-    d_ref,  # (1, bh, W, Cmid)
-    x_ref,  # (1, bh, W, Cin)
-    se_ref,  # (1, 8, Cmid) per-image SE gate (8-row broadcast for tiling)
-    wpr_ref,  # (Cmid, Cout)
-    s2_ref,  # (1, Cout)
-    b2_ref,  # (1, Cout)
-    y_ref,  # out: (1, bh, W, Cout)
-    *,
-    bh: int,
-    width: int,
-    cmid: int,
-    cout: int,
-    compute_dtype,
-):
-    b = pl.program_id(0)
-    band = pl.program_id(1)
-    d = d_ref[0].astype(jnp.float32) * se_ref[0, 0][None, None].astype(jnp.float32)
-    flat = d.astype(compute_dtype).reshape(bh * width, cmid)
-    y = jnp.dot(flat, wpr_ref[:], preferred_element_type=jnp.float32)
-    y = y.reshape(bh, width, cout) * s2_ref[0] + b2_ref[0]
+    # ---- band loop B: gate -> project -> (+x) ---------------------------
+    cout = y_ref.shape[-1]
 
-    oy = win_ref[b, 0]
-    ox = win_ref[b, 1]
-    wh = win_ref[b, 2]
-    ww = win_ref[b, 3]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (bh, width), 0) + band * bh
-    cols = jax.lax.broadcasted_iota(jnp.int32, (bh, width), 1)
-    m = (rows >= oy) & (rows < oy + wh) & (cols >= ox) & (cols < ox + ww)
-    y = y * m.astype(jnp.float32)[:, :, None]
-    y_ref[0] = (y + x_ref[0].astype(jnp.float32)).astype(y_ref.dtype)
+    def band_b(i, carry):
+        y0 = jnp.minimum(i * bh, h - bh)
+        d = d_ref[pl.ds(y0, bh)].astype(jnp.float32) * se[0][None, None]
+        flat = d.astype(compute_dtype).reshape(bh * w, cmid)
+        y = jnp.dot(flat, wpr_ref[:], preferred_element_type=jnp.float32)
+        y = y.reshape(bh, w, cout) * s2_ref[0] + b2_ref[0]
+        y = y * win_mask((bh, w), y0, 0)[:, :, None]
+        if has_skip:
+            xin = x_ref[0, pl.ds(y0 + p, bh), p : p + w, :]
+            y = y + xin.astype(jnp.float32)
+        y_ref[0, pl.ds(y0, bh)] = y.astype(y_ref.dtype)
+        return carry
 
-
-def _pick_band(
-    h: int, w: int, cmid: int, cpad: int, k: int, vmem_budget: int = 10 << 20
-) -> int:
-    """Largest output band height (multiple of 8, dividing into ceil bands)
-    whose working set fits the VMEM budget."""
-    p = k // 2
-    wpad = -(-(w + 2 * p) // 8) * 8
-    for bh in (64, 32, 16, 8):
-        if bh > h:
-            continue
-        bytes_ = (
-            (bh + 2 * p) * wpad * cmid * 4  # e (f32 worst case)
-            + (bh + 2 * p) * wpad * cpad * 2  # xs scratch (bf16-ish)
-            + bh * w * cmid * 4  # acc
-        )
-        if bytes_ <= vmem_budget:
-            return bh
-    return 8
+    jax.lax.fori_loop(0, nb, band_b, jnp.int32(0))
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "has_expand", "se_ratio_filters", "interpret", "compute_dtype"),
+    static_argnames=("k", "has_expand", "se_ratio_filters", "interpret",
+                     "compute_dtype"),
 )
 def fused_mbconv_stride1(
     x,  # (B, H, W, Cin) NHWC
@@ -203,7 +249,9 @@ def fused_mbconv_stride1(
     compute_dtype=jnp.float32,
     interpret: bool = False,
 ):
-    """Inference-mode stride-1 MBConv with id-skip, fused (see module doc).
+    """Inference-mode stride-1 MBConv, fused (see module doc).  The
+    residual add is taken iff Cin == Cout (the Flax id-skip condition for
+    stride-1 blocks).
 
     Numerics match models/efficientnet.py MBConvBlock(train=False) to float
     reassociation (matmul accumulation f32 regardless of compute_dtype).
@@ -215,14 +263,11 @@ def fused_mbconv_stride1(
     p = k // 2
 
     if window is None:
-        # no placement window: mask to the full image bounds (the band/halo
-        # padding must still be excluded from the depthwise halo + SE sums)
+        # no placement window: mask to the full image bounds (the spatial
+        # pad must still be excluded from the depthwise halo + SE sums)
         win = jnp.tile(jnp.asarray([[0, 0, h, w]], jnp.int32), (bsz, 1))
     else:
         win = window.astype(jnp.int32)
-
-    # lane alignment for the manual HBM DMA: Cin padded to a multiple of 128
-    cpad = -(-cin // 128) * 128
 
     s1, b1 = _fold_bn(params["_bn1"], stats["_bn1"], bn_eps)
     s2, b2 = _fold_bn(params["_bn2"], stats["_bn2"], bn_eps)
@@ -230,126 +275,67 @@ def fused_mbconv_stride1(
         wexp = params["_expand_conv"]["kernel"][0, 0]  # (Cin, Cmid)
         s0, b0 = _fold_bn(params["_bn0"], stats["_bn0"], bn_eps)
     else:
-        # identity: the in-kernel matmul then only strips the lane padding
-        wexp = jnp.eye(cin, cmid, dtype=x.dtype)
+        wexp = jnp.zeros((cin, cmid), x.dtype)  # unused placeholder
         s0 = jnp.ones((cmid,), jnp.float32)
         b0 = jnp.zeros((cmid,), jnp.float32)
-    wexp = jnp.pad(wexp, ((0, cpad - cin), (0, 0)))  # zero rows: no effect
 
-    bh = _pick_band(h, w, cmid, cpad, k)
-    nb = -(-h // bh)
-    hp = nb * bh  # pad H so bands tile exactly
-    # Mosaic DMA slices need the sublane (second-to-last) extent to be a
-    # multiple of 8 — round the padded row width up; the depthwise slices
-    # stop at 2p + width, so the extra right columns are never read
-    wpad = -(-(w + 2 * p) // 8) * 8
-    xp = jnp.pad(
-        x.astype(compute_dtype),
-        ((0, 0), (p, p + hp - h), (p, wpad - w - p), (0, cpad - cin)),
-    )
+    xp = jnp.pad(x.astype(compute_dtype), ((0, 0), (p, p), (p, p), (0, 0)))
+    bh, _ = _plan(h, w, cin, cmid, cout, k, compute_dtype)
+
+    def bcast8(v):  # (C,) -> (8, C) f32 row-broadcast for Mosaic tiling
+        return jnp.broadcast_to(v[None].astype(jnp.float32), (8, v.shape[0]))
 
     kern = functools.partial(
-        _front_kernel,
-        k=k, bh=bh, width=w, wpad=wpad, cpad=cpad, cmid=cmid,
-        has_expand=has_expand, compute_dtype=compute_dtype,
+        _kernel,
+        k=k, h=h, w=w, bh=bh, cmid=cmid, has_expand=has_expand,
+        has_skip=cin == cout, compute_dtype=compute_dtype,
     )
-    d, ssum = pl.pallas_call(
+    rep = lambda *_: (0, 0)  # replicated operand, any grid step  # noqa: E731
+    y = pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(bsz, nb),
+            grid=(bsz,),
             in_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
-                pl.BlockSpec((cpad, cmid), lambda b, i, *_: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, cmid), lambda b, i, *_: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, cmid), lambda b, i, *_: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((k * k, cmid), lambda b, i, *_: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, cmid), lambda b, i, *_: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, cmid), lambda b, i, *_: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, h + 2 * p, w + 2 * p, cin),
+                             lambda b, *_: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((cin, cmid), rep, memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, cmid), rep, memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, cmid), rep, memory_space=pltpu.VMEM),
+                pl.BlockSpec((k * k, cmid), rep, memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, cmid), rep, memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, cmid), rep, memory_space=pltpu.VMEM),
+                pl.BlockSpec((cmid, se_ratio_filters), rep, memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, se_ratio_filters), rep, memory_space=pltpu.VMEM),
+                pl.BlockSpec((se_ratio_filters, cmid), rep, memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, cmid), rep, memory_space=pltpu.VMEM),
+                pl.BlockSpec((cmid, cout), rep, memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, cout), rep, memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, cout), rep, memory_space=pltpu.VMEM),
             ],
-            out_specs=[
-                pl.BlockSpec(
-                    (1, bh, w, cmid), lambda b, i, *_: (b, i, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (1, 1, 8, cmid), lambda b, i, *_: (b, i, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-            ],
-            scratch_shapes=[
-                pltpu.VMEM((bh + 2 * p, wpad, cpad), compute_dtype),
-                pltpu.SemaphoreType.DMA,
-            ],
+            out_specs=pl.BlockSpec((1, h, w, cout), lambda b, *_: (b, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((h, w, cmid), compute_dtype)],
         ),
-        out_shape=[
-            jax.ShapeDtypeStruct((bsz, hp, w, cmid), compute_dtype),
-            jax.ShapeDtypeStruct((bsz, nb, 8, cmid), jnp.float32),
-        ],
-        # Mosaic's default 16 MB scoped-vmem cap undercounts nothing — the
-        # f32 expand temporaries genuinely exceed it on the wide early
-        # stages; v5e has 128 MB VMEM, so grant the kernel half
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
+        out_shape=jax.ShapeDtypeStruct((bsz, h, w, cout), x.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(
         win,
         xp,
         wexp.astype(compute_dtype),
-        s0[None].astype(jnp.float32),
-        b0[None].astype(jnp.float32),
+        bcast8(s0),
+        bcast8(b0),
         wdw.reshape(k * k, cmid).astype(compute_dtype),
-        s1[None].astype(jnp.float32),
-        b1[None].astype(jnp.float32),
-    )
-
-    # ---- SE gate (tiny, XLA) ------------------------------------------------
-    count = (win[:, 2] * win[:, 3]).astype(jnp.float32)[:, None]
-    se_in = jnp.sum(ssum[:, :, 0, :], axis=1) / count  # (B, Cmid) masked mean
-    wr = params["_se_reduce"]["kernel"][0, 0]  # (Cmid, Csq)
-    br = params["_se_reduce"]["bias"]
-    we = params["_se_expand"]["kernel"][0, 0]  # (Csq, Cmid)
-    be = params["_se_expand"]["bias"]
-    se = jax.nn.sigmoid(jnp.dot(jax.nn.silu(jnp.dot(se_in, wr) + br), we) + be)
-
-    back = functools.partial(
-        _back_kernel, bh=bh, width=w, cmid=cmid, cout=cout,
-        compute_dtype=compute_dtype,
-    )
-    xpad = jnp.pad(x, ((0, 0), (0, hp - h), (0, 0), (0, 0)))
-    y = pl.pallas_call(
-        back,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(bsz, nb),
-            in_specs=[
-                pl.BlockSpec(
-                    (1, bh, w, cmid), lambda b, i, *_: (b, i, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (1, bh, w, cin), lambda b, i, *_: (b, i, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec((1, 8, cmid), lambda b, i, *_: (b, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((cmid, cout), lambda b, i, *_: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, cout), lambda b, i, *_: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, cout), lambda b, i, *_: (0, 0), memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec(
-                (1, bh, w, cout), lambda b, i, *_: (b, i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ),
-        out_shape=jax.ShapeDtypeStruct((bsz, hp, w, cout), x.dtype),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
-        interpret=interpret,
-    )(
-        win,
-        d,
-        xpad,
-        jnp.broadcast_to(se[:, None, :], (bsz, 8, cmid)).astype(jnp.float32),
+        bcast8(s1),
+        bcast8(b1),
+        params["_se_reduce"]["kernel"][0, 0].astype(compute_dtype),
+        bcast8(params["_se_reduce"]["bias"]),
+        params["_se_expand"]["kernel"][0, 0].astype(compute_dtype),
+        bcast8(params["_se_expand"]["bias"]),
         params["_project_conv"]["kernel"][0, 0].astype(compute_dtype),
-        s2[None].astype(jnp.float32),
-        b2[None].astype(jnp.float32),
+        bcast8(s2),
+        bcast8(b2),
     )
-    return y[:, :h]
+    return y

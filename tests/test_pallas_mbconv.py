@@ -75,6 +75,18 @@ def test_fused_mbconv_windowed():
     _run_pair(BlockArgs(3, 1, 24, 24, 6, 1), 24, 40, window, seed=3)
 
 
+def test_fused_mbconv_no_skip():
+    # each stage's lead block: cin != cout, no residual (id_skip moot)
+    _run_pair(BlockArgs(3, 1, 24, 40, 6, 1), 20, 28, None, seed=5)
+
+
+def test_fused_mbconv_no_skip_windowed():
+    sizes = np.array([[13, 21], [20, 28]], np.int32)
+    off = placement_offset(sizes, 1)
+    window = jnp.asarray(np.concatenate([off, sizes], axis=-1))
+    _run_pair(BlockArgs(5, 1, 32, 48, 6, 1), 20, 28, window, seed=6)
+
+
 def test_fused_mbconv_inside_backbone():
     """fuse_max_in_filters wiring: the fused backbone must match the plain
     one at inference (init always uses the unfused path, so variables are
