@@ -117,6 +117,12 @@ class CamTTAEngine:
         are replicated once).  Batches not divisible by the axis size
         fall back to the unsharded path.  Outputs are identical
         (tests/test_sharding.py).
+      shard_spatial: additionally shard the model input's HEIGHT over the
+        mesh's 'model' axis (parallel.mesh.spatial_sharding): GSPMD runs
+        the whole conv stack sharded, exchanging halos over ICI — a batch
+        SMALLER than the slice still uses every chip (latency scaling the
+        single-GPU reference has no equivalent of).  Needs
+        make_mesh(model_axis>1); outputs match the unsharded engine.
     """
 
     def __init__(
@@ -137,16 +143,29 @@ class CamTTAEngine:
         tight_upload: bool = False,
         upload_mode: str = "rgb",
         mesh=None,
+        shard_spatial: bool = False,
     ):
         self.model = model
         self.variables = variables
         self.mesh = mesh
+        self._spatial_sharding = None
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             self._batch_sharding = NamedSharding(mesh, P("data"))
             # replicate the weights across the mesh once
             self.variables = jax.device_put(variables, NamedSharding(mesh, P()))
+            if shard_spatial:
+                # shard the model input's HEIGHT over 'model' as well:
+                # GSPMD runs the conv stack with ICI halo exchanges, so a
+                # batch smaller than the slice still uses every chip
+                # (parallel.mesh.spatial_sharding)
+                if mesh.shape.get("model", 1) < 2:
+                    raise ValueError(
+                        "shard_spatial needs make_mesh(model_axis>1)")
+                self._spatial_sharding = NamedSharding(mesh, P("data", "model"))
+        elif shard_spatial:
+            raise ValueError("shard_spatial requires a mesh")
         self.scales = tuple(scales)
         self.num_classes = num_classes
         self.out_side = out_side
@@ -400,6 +419,7 @@ class CamTTAEngine:
             mean = jnp.asarray(IMAGENET_MEAN[0, 0], jnp.float32)
             std = jnp.asarray(IMAGENET_STD[0, 0], jnp.float32)
             lowres = self.lowres
+            spatial_sh = self._spatial_sharding
 
             @functools.partial(jax.jit, donate_argnums=(4,))
             def run(variables, images_u8, orig_sizes, class_idx, accs):
@@ -428,6 +448,8 @@ class CamTTAEngine:
 
                 orig_v, flip_v = jax.vmap(make_pair)(images_u8, orig_sizes, scaled, off)
                 images = jnp.stack([orig_v, flip_v], axis=1).reshape(-1, ch, cw, 3)
+                if spatial_sh is not None:
+                    images = jax.lax.with_sharding_constraint(images, spatial_sh)
                 win = jnp.concatenate([off, scaled], axis=-1)
                 return compute(variables, images, win, orig_sizes, class_idx, accs)
 
@@ -609,9 +631,12 @@ class CamTTAEngine:
 
             model = self.model
             cdt = self.compute_dtype
+            spatial_sh = self._spatial_sharding
 
             @functools.partial(jax.jit, donate_argnums=(2, 3, 4))
             def run(variables, images, cam_sum, sgc_sum, logits_sum):
+                if spatial_sh is not None:
+                    images = jax.lax.with_sharding_constraint(images, spatial_sh)
                 cams, sgcs, _, logits = model.apply(variables, images.astype(cdt), mode="cam")
                 cams = resize_bilinear(cams.astype(jnp.float32), out_hw, align_corners=False)
                 sgcs = resize_bilinear(sgcs.astype(jnp.float32), out_hw, align_corners=False)

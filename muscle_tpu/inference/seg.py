@@ -45,6 +45,9 @@ class SegTTAEngine:
     see CamTTAEngine / inference/upload.py (deviation bounded by
     tests/test_inference.py).
     mesh: shard the batch over the mesh's 'data' axis (see CamTTAEngine).
+    shard_spatial: additionally shard image HEIGHT over the mesh's 'model'
+    axis (parallel.mesh.spatial_sharding) — GSPMD halo-exchange convs, so
+    a batch smaller than the slice still uses every chip.
     """
 
     def __init__(
@@ -63,15 +66,26 @@ class SegTTAEngine:
         tight_upload: bool = False,
         upload_mode: str = "rgb",
         mesh=None,
+        shard_spatial: bool = False,
     ):
         self.model = model
         self.variables = variables
         self.mesh = mesh
+        self._spatial_sharding = None
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             self._batch_sharding = NamedSharding(mesh, P("data"))
             self.variables = jax.device_put(variables, NamedSharding(mesh, P()))
+            if shard_spatial:
+                # see CamTTAEngine: image height over 'model' -> GSPMD
+                # halo-exchange convs, latency scaling for small batches
+                if mesh.shape.get("model", 1) < 2:
+                    raise ValueError(
+                        "shard_spatial needs make_mesh(model_axis>1)")
+                self._spatial_sharding = NamedSharding(mesh, P("data", "model"))
+        elif shard_spatial:
+            raise ValueError("shard_spatial requires a mesh")
         self.scales = tuple(scales)
         self.num_classes = num_classes
         self.out_side = out_side
@@ -167,6 +181,7 @@ class SegTTAEngine:
             compute = self._core(scale, ch, cw)
             mean = jnp.asarray(IMAGENET_MEAN[0, 0], jnp.float32)
             std = jnp.asarray(IMAGENET_STD[0, 0], jnp.float32)
+            spatial_sh = self._spatial_sharding
 
             @functools.partial(jax.jit, donate_argnums=(3,))
             def run(variables, images_u8, orig_sizes, acc):
@@ -189,6 +204,8 @@ class SegTTAEngine:
 
                 orig_v, flip_v = jax.vmap(make_pair)(images_u8, orig_sizes, scaled)
                 images = jnp.stack([orig_v, flip_v], axis=1).reshape(-1, ch, cw, 3)
+                if spatial_sh is not None:
+                    images = jax.lax.with_sharding_constraint(images, spatial_sh)
                 return compute(variables, images, scaled, orig_sizes, acc)
 
             self._scale_fn[key] = run

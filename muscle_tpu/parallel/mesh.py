@@ -71,6 +71,17 @@ def data_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
+def spatial_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard an NHWC batch over ('data', 'model'): batch over 'data' and
+    image HEIGHT over 'model'.  Constraining the conv-stack input to this
+    under jit makes GSPMD run every spatial conv sharded, inserting halo
+    exchanges over ICI (and psums for the global reductions) — multi-chip
+    scaling for batches SMALLER than the slice (latency, not just
+    throughput; the single-GPU reference has no equivalent).  Use
+    make_mesh(model_axis=k) with k > 1."""
+    return NamedSharding(mesh, P("data", "model"))
+
+
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

@@ -145,6 +145,86 @@ def test_seg_engine_mesh_sharded_matches_single():
         np.testing.assert_allclose(x["probs"], y["probs"], atol=1e-5)
 
 
+def test_cam_engine_spatial_sharded_matches_single():
+    """shard_spatial: batch over 'data' AND image height over 'model'
+    (GSPMD halo-exchange convs) — outputs must match the unsharded
+    engine.  4 images on a (2 data, 4 model) mesh exercises a batch
+    smaller than the device count, the case pure DP can't scale."""
+    from PIL import Image
+
+    from muscle_tpu.inference import CamTTAEngine
+    from muscle_tpu.models import MuSCLe
+
+    model = MuSCLe(backbone_name="efficientnet-b1", mode="enc", last_pooling=False)
+    variables = model.init(
+        {"params": jax.random.key(5)}, jnp.zeros((1, 32, 32, 3)), mode="cam"
+    )
+    rng = np.random.default_rng(23)
+    imgs = [
+        Image.fromarray(rng.integers(0, 255, (44 + 4 * i, 40, 3), dtype=np.uint8))
+        for i in range(4)
+    ]
+    names = [f"i{i}" for i in range(4)]
+    labels = []
+    for i in range(4):
+        lab = np.zeros(20, np.float32)
+        lab[(3 * i) % 20] = 1.0
+        labels.append(lab)
+    kw = dict(scales=(0.5, 1.0), out_side=64, max_side=62, device_tta=True)
+    base = CamTTAEngine(model, variables, **kw).run_batch(imgs, names, labels)
+    spat = CamTTAEngine(
+        model, variables, mesh=make_mesh(model_axis=4), shard_spatial=True, **kw
+    ).run_batch(imgs, names, labels)
+    for x, y, lab in zip(base, spat, labels):
+        np.testing.assert_allclose(x["score"], y["score"], atol=1e-4)
+        for c in np.nonzero(lab)[0]:
+            np.testing.assert_allclose(
+                x["sgc"][c].astype(np.float32), y["sgc"][c].astype(np.float32),
+                atol=2e-4,
+            )
+
+
+def test_seg_engine_spatial_sharded_matches_single():
+    from PIL import Image
+
+    from muscle_tpu.inference import SegTTAEngine
+    from muscle_tpu.models import MuSCLe
+
+    model = MuSCLe(
+        backbone_name="efficientnet-b1", mode="dec", bifpn_layers=1, last_pooling=True
+    )
+    variables = model.init(
+        {"params": jax.random.key(6)}, jnp.zeros((1, 32, 32, 3)), mode="seg"
+    )
+    rng = np.random.default_rng(24)
+    imgs = [
+        Image.fromarray(rng.integers(0, 255, (50, 40, 3), dtype=np.uint8))
+        for _ in range(2)
+    ]
+    names = ["a", "b"]
+    kw = dict(scales=(0.5, 1.0), out_side=64, max_side=56, device_tta=True)
+    base = SegTTAEngine(model, variables, **kw).run_batch(imgs, names)
+    spat = SegTTAEngine(
+        model, variables, mesh=make_mesh(model_axis=4), shard_spatial=True, **kw
+    ).run_batch(imgs, names)
+    for x, y in zip(base, spat):
+        np.testing.assert_allclose(x["probs"], y["probs"], atol=1e-4)
+
+
+def test_shard_spatial_requires_model_axis():
+    from muscle_tpu.inference import CamTTAEngine
+    from muscle_tpu.models import MuSCLe
+
+    model = MuSCLe(backbone_name="efficientnet-b1", mode="enc", last_pooling=False)
+    variables = model.init(
+        {"params": jax.random.key(7)}, jnp.zeros((1, 32, 32, 3)), mode="cam"
+    )
+    with pytest.raises(ValueError):
+        CamTTAEngine(model, variables, mesh=make_mesh(), shard_spatial=True)
+    with pytest.raises(ValueError):
+        CamTTAEngine(model, variables, shard_spatial=True)
+
+
 @pytest.mark.slow
 def test_dryrun_multichip_trains():
     import __graft_entry__ as g
