@@ -33,6 +33,10 @@ def main(argv=None) -> None:
                    help="1 = production fast mode (K-class gather, stride-4 "
                         "fusion grid + uint8 download, tight ycbcr420 upload, "
                         "2-deep pipeline — DEVIATIONS.md #9/#13); 0 = full-res f16")
+    p.add_argument("--spatial", default=0, type=int,
+                   help="shard image height over a 'model' mesh axis of this "
+                        "size (GSPMD halo convs): latency scaling when the "
+                        "batch is smaller than the slice. 0 = pure DP")
     add_voc_args(p)
     args = p.parse_args(argv)
 
@@ -50,7 +54,13 @@ def main(argv=None) -> None:
     fast = dict(accum_stride=4, download_dtype="uint8", tight_upload=True,
                 upload_mode="ycbcr420")
     mesh = None
-    if jax.local_device_count() > 1:
+    if args.spatial > 1:
+        # batch over 'data' AND image height over 'model' (GSPMD halo
+        # convs) — a batch smaller than the slice still uses every chip
+        from muscle_tpu.parallel import make_mesh
+
+        mesh = make_mesh(model_axis=args.spatial)
+    elif jax.local_device_count() > 1:
         # shard the TTA batch over all local chips (pure DP; see engine doc)
         from muscle_tpu.parallel import make_data_mesh_for_batch
 
@@ -58,6 +68,7 @@ def main(argv=None) -> None:
     engine = CamTTAEngine(
         model, variables, scales=scales, num_classes=args.num_classes,
         return_cam=bool(args.save_cam), mesh=mesh,
+        shard_spatial=args.spatial > 1,
         **(fast if args.fast and not args.exact else {}),
     )
 

@@ -30,6 +30,10 @@ def main(argv=None) -> None:
                    help="1 = production fast mode (stride-4 prob grid + f16 "
                         "download + tight ycbcr420 upload + 2-deep pipeline, "
                         "DEVIATIONS.md #9/#13); 0 = full-res f32 parity mode")
+    p.add_argument("--spatial", default=0, type=int,
+                   help="shard image height over a 'model' mesh axis of this "
+                        "size (GSPMD halo convs): latency scaling when the "
+                        "batch is smaller than the slice. 0 = pure DP")
     add_voc_args(p)
     args = p.parse_args(argv)
 
@@ -49,12 +53,19 @@ def main(argv=None) -> None:
     fast = dict(accum_stride=4, download_dtype="float16", tight_upload=True,
                 upload_mode="ycbcr420")
     mesh = None
-    if jax.local_device_count() > 1:
+    if args.spatial > 1:
+        # batch over 'data' AND image height over 'model' (GSPMD halo
+        # convs) — a batch smaller than the slice still uses every chip
+        from muscle_tpu.parallel import make_mesh
+
+        mesh = make_mesh(model_axis=args.spatial)
+    elif jax.local_device_count() > 1:
         from muscle_tpu.parallel import make_data_mesh_for_batch
 
         mesh = make_data_mesh_for_batch(args.batch_size)
     engine = SegTTAEngine(
         model, variables, num_classes=args.num_classes, mesh=mesh,
+        shard_spatial=args.spatial > 1,
         **(fast if args.fast else {})
     )
 

@@ -223,3 +223,28 @@ def test_infer_mcl_cli_end_to_end(mini_voc, tmp_path, monkeypatch):
         assert set(d.keys()) == {[0, 7, 11, 14][i]}
         m = next(iter(d.values()))
         assert m.shape == (h, w) and m.dtype == np.float16
+
+    # --spatial 4: (2 data, 4 model) mesh, GSPMD halo convs — same
+    # reference-format outputs, numerically close to the pure-DP run
+    out_sp = tmp_path / "cams_sp"
+    infer_mcl.main([
+        "--weights", str(ckpt),
+        "--infer_list", str(root / "list.txt"),
+        "--voc12_root", str(root),
+        "--cls_labels", str(root / "cls_labels.npy"),
+        "--out_npy", str(out_sp),
+        "--backbone", "efficientnet-b1",
+        "--scales", "0.5,1",
+        "--batch_size", "4",
+        "--spatial", "4",
+    ])
+    for n in names:
+        d0 = np.load(str(out) + "_sgc/" + n + ".npy", allow_pickle=True).item()
+        d1 = np.load(str(out_sp) + "_sgc/" + n + ".npy", allow_pickle=True).item()
+        assert set(d0.keys()) == set(d1.keys())
+        for c in d0:
+            # fast mode downloads uint8: one quantisation bin (1/255) of
+            # slack for the spatial path's float reassociation
+            np.testing.assert_allclose(
+                d0[c].astype(np.float32), d1[c].astype(np.float32), atol=5e-3
+            )
