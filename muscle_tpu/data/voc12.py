@@ -103,6 +103,38 @@ class VOC12ImageDataset:
         return np.asarray(self.labels[self.name_list[idx]], np.float32)
 
 
+@dataclass
+class SBDImageDataset:
+    """Labelless image corpus addressed by an explicit name list
+    (reference SBD / SBDMSF, src/data.py:546-594): images live at
+    ``<root>/<name>.jpg`` (names may carry subdirectories) with no
+    cls_labels entry.  ``unit`` rounds each image's size to the nearest
+    multiple before scaling (the reference SBDMSF ``unit`` parameter,
+    applied here at decode so the batched TTA producer
+    muscle_tpu.data.tta.msf_batch — the MSF variant — needs no special
+    case; for unit=1, the reference default, the two formulations are
+    identical, and otherwise they differ only by the extra resample)."""
+
+    name_list: list[str]
+    root: str
+    unit: int = 1
+
+    def __len__(self) -> int:
+        return len(self.name_list)
+
+    def image(self, idx: int) -> Image.Image:
+        img = Image.open(
+            os.path.join(self.root, self.name_list[idx] + ".jpg")
+        ).convert("RGB")
+        if self.unit > 1:
+            w, h = img.size
+            rw = max(self.unit, int(round(w / self.unit) * self.unit))
+            rh = max(self.unit, int(round(h / self.unit) * self.unit))
+            if (rw, rh) != (w, h):
+                img = img.resize((rw, rh), resample=T.BICUBIC)
+        return img
+
+
 class VOC12ClsPixDataset(VOC12ImageDataset):
     """MCL training set: augmented full image + two overlapping views with
     overlap coordinates (reference VOC12ClsPix, src/data.py:215-332).

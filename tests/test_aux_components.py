@@ -132,3 +132,52 @@ def test_class_frequency_sample_weights():
     labels = [np.eye(20, dtype=np.float32)[14], np.eye(20, dtype=np.float32)[9]]
     w = class_frequency_sample_weights(labels)
     assert w[1] > w[0]  # rare class (chair, 267) upweighted vs person (4155)
+
+
+def test_get_indices_of_pairs_raster_parity():
+    """Vectorised raster pair enumeration == reference pyutils
+    (src/pyutils.py:137-176), including offset order."""
+    from reference_loader import load_reference
+    from muscle_tpu.ops.affinity_labels import get_indices_of_pairs_raster
+
+    load_reference()
+    from src import pyutils
+
+    for radius, size in [(3, (7, 9)), (5, (11, 14))]:
+        rf, rt = pyutils.get_indices_of_pairs(radius, size)
+        mf, mt = get_indices_of_pairs_raster(radius, size)
+        np.testing.assert_array_equal(rf, mf)
+        np.testing.assert_array_equal(rt, mt)
+
+
+def test_get_indices_of_pairs_circle_parity():
+    from reference_loader import load_reference
+    from muscle_tpu.ops.affinity_labels import get_indices_of_pairs_circle
+
+    load_reference()
+    from src import pyutils
+
+    for radius, size in [(3, (8, 8)), (4, (10, 13))]:
+        rf, rt = pyutils.get_indices_of_pairs_circle(radius, size)
+        mf, mt = get_indices_of_pairs_circle(radius, size)
+        np.testing.assert_array_equal(rf, mf)
+        np.testing.assert_array_equal(rt, mt)
+
+
+def test_get_indices_of_pairs_orient_bins():
+    """The reference's orient=True path is buggy (masks test the boolean
+    flag, collapsing all bins to 0 — DEVIATIONS.md); assert the corrected
+    8-direction quantisation instead: known offsets land in known bins."""
+    from muscle_tpu.ops.affinity_labels import get_indices_of_pairs_raster
+
+    _, _, bins = get_indices_of_pairs_raster(5, (11, 11), orient=True)
+    offs = [(0, x) for x in range(1, 5)] + [
+        (y, x) for y in range(1, 5) for x in range(-4, 5)
+        if x * x + y * y < 25
+    ]
+    by_off = dict(zip(offs, bins))
+    assert by_off[(0, 1)] == 7  # angle 0
+    assert by_off[(1, 1)] == 0  # pi/4
+    assert by_off[(1, 0)] == 1  # pi/2
+    assert by_off[(1, -1)] == 2  # 3pi/4
+    assert set(bins) <= set(range(8))

@@ -85,3 +85,26 @@ def test_prefetch_loader_sharding():
         for b in PrefetchLoader(ds, 1, seed=0, shuffle=False, shard=(pi, 2)).epoch(0):
             seen.extend(b["x"][:, 0].tolist())
     assert sorted(seen) == list(map(float, range(10)))
+
+
+def test_sbd_image_dataset(tmp_path):
+    """SBD corpus access (reference SBD/SBDMSF, src/data.py:546-594):
+    images by bare name (subdirs allowed), no labels; unit rounds the
+    decode size to the nearest multiple."""
+    from muscle_tpu.data.voc12 import SBDImageDataset
+
+    d = tmp_path / "img" / "benchmark"
+    d.mkdir(parents=True)
+    Image.new("RGB", (101, 67), (30, 60, 90)).save(d / "a_0001.jpg")
+
+    ds = SBDImageDataset(["img/benchmark/a_0001"], str(tmp_path))
+    assert len(ds) == 1
+    assert ds.image(0).size == (101, 67)
+
+    ds8 = SBDImageDataset(["img/benchmark/a_0001"], str(tmp_path), unit=8)
+    assert ds8.image(0).size == (104, 64)  # round(101/8)*8, round(67/8)*8
+
+    # MSF variant = the batched TTA producer over .image()s
+    batch = msf_batch([ds8.image(0)], ["a_0001"], scale=0.5, canvas=64)
+    assert batch.images.shape == (2, 64, 64, 3)
+    np.testing.assert_array_equal(batch.sizes[0], (32, 52))
