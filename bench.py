@@ -53,6 +53,23 @@ def _pipelined_rate(run_async, make_batch, windows: int, n_batches: int):
     return rates
 
 
+def _stream_rate(run_stream, make_batch, windows: int, n_batches: int):
+    """Throughput of the engines' threaded prep->dispatch->finalize stream
+    (the production CLI pipeline).  Synthetic-image GENERATION is harness
+    cost, not pipeline work, so batches are built before the clock starts;
+    canvas packing/upload/compute/download/upsample all stay timed (they
+    run inside run_stream)."""
+    rates = []
+    for wnd in range(windows):
+        batches = [make_batch(100 + wnd * 50 + i) for i in range(n_batches)]
+        start = time.perf_counter()
+        n_imgs = 0
+        for out in run_stream(iter(batches)):
+            n_imgs += len(out)
+        rates.append(n_imgs / (time.perf_counter() - start))
+    return rates
+
+
 def bench_cam_tta() -> dict:
     import jax.numpy as jnp
     from PIL import Image
@@ -103,7 +120,7 @@ def bench_cam_tta() -> dict:
 
     for i in range(WARMUP_BATCHES):  # compile all scale programs
         engine.run_batch(*make_batch(i))
-    rates = _pipelined_rate(engine.run_batch_async, make_batch, WINDOWS, N_BATCHES)
+    rates = _stream_rate(engine.run_stream, make_batch, WINDOWS, N_BATCHES)
     ips = float(np.median(rates))
     return {
         "metric": "cam_tta_images_per_sec_per_chip",
@@ -147,7 +164,7 @@ def bench_seg_tta() -> dict:
         return imgs, [f"s{i}_{j}" for j in range(b)]
 
     engine.run_batch(*make_batch(0))  # warmup/compile
-    rates = _pipelined_rate(engine.run_batch_async, make_batch, 2, 4)
+    rates = _stream_rate(engine.run_stream, make_batch, 2, 4)
     ips = float(np.median(rates))
     return {
         "metric": "seg_tta_images_per_sec_per_chip",

@@ -98,20 +98,22 @@ def main(argv=None) -> None:
         ]
 
     done = 0
-    pending = None  # 2-deep pipeline: batch n's download/save overlaps n+1
-    for chunk, imgs in prefetch_chunks(names, args.batch_size, load):
-        labs = [labels[n] for n in chunk]
-        if args.exact:
-            save(engine.run_batch_exact(imgs, chunk, labs))
-        else:
-            nxt = engine.run_batch_async(imgs, chunk, labs)
-            if pending is not None:
-                save(pending())
-            pending = nxt
-        done += len(chunk)
-        print(f"{done}/{len(names)}")
-    if pending is not None:
-        save(pending())
+    if args.exact:
+        for chunk, imgs in prefetch_chunks(names, args.batch_size, load):
+            save(engine.run_batch_exact(imgs, chunk, [labels[n] for n in chunk]))
+            done += len(chunk)
+            print(f"{done}/{len(names)}")
+    else:
+        # fully-overlapped stream: decode prefetch feeds the engine's
+        # threaded prep -> dispatch -> finalize pipeline (engine.run_stream)
+        def batches():
+            for chunk, imgs in prefetch_chunks(names, args.batch_size, load):
+                yield imgs, chunk, [labels[n] for n in chunk]
+
+        for records in engine.run_stream(batches()):
+            save(records)
+            done += len(records)
+            print(f"{done}/{len(names)}")
 
 
 if __name__ == "__main__":

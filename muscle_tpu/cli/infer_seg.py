@@ -110,19 +110,26 @@ def main(argv=None) -> None:
         return imgs, gates
 
     done = 0
-    pending = None  # 2-deep pipeline: batch n's download/CRF/PNG overlaps n+1
-    for chunk, (imgs, gates) in prefetch_chunks(names, args.batch_size, load):
-        if args.fast:
-            nxt = (imgs, engine.run_batch_async(imgs, chunk, gates))
-            if pending is not None:
-                postprocess(pending[0], pending[1]())
-            pending = nxt
-        else:
+    if args.fast:
+        # fully-overlapped stream: decode prefetch feeds the engine's
+        # threaded prep -> dispatch -> finalize pipeline; CRF/PNG happen
+        # on the consumer side of the stream
+        img_fifo = []
+
+        def batches():
+            for chunk, (imgs, gates) in prefetch_chunks(names, args.batch_size, load):
+                img_fifo.append(imgs)
+                yield imgs, chunk, gates
+
+        for records in engine.run_stream(batches()):
+            postprocess(img_fifo.pop(0), records)
+            done += len(records)
+            print(f"{done}/{len(names)}")
+    else:
+        for chunk, (imgs, gates) in prefetch_chunks(names, args.batch_size, load):
             postprocess(imgs, engine.run_batch(imgs, chunk, gates))
-        done += len(chunk)
-        print(f"{done}/{len(names)}")
-    if pending is not None:
-        postprocess(pending[0], pending[1]())
+            done += len(chunk)
+            print(f"{done}/{len(names)}")
 
 
 if __name__ == "__main__":

@@ -191,6 +191,11 @@ class CamTTAEngine:
         self.upload_mode = upload_mode
         self._scale_fn = {}
         self._device_scale_fn = {}
+        self._device_scale_raw = {}
+        self._device_pipeline = {}
+        # one jit program per batch shape (unpack + every scale + fuse)
+        # instead of 6 chained dispatches — see _device_pipeline_for
+        self.fuse_dispatch = device_tta
 
     def _core(self, canvas_h: int, canvas_w: int):
         """Shared per-scale compute: scaled normalised (orig, flip) pairs ->
@@ -453,8 +458,68 @@ class CamTTAEngine:
                 win = jnp.concatenate([off, scaled], axis=-1)
                 return compute(variables, images, win, orig_sizes, class_idx, accs)
 
-            self._device_scale_fn[key] = run
+            self._device_scale_raw[key] = run
+            self._device_scale_fn[key] = functools.partial(
+                jax.jit, donate_argnums=(4,)
+            )(run)
         return self._device_scale_fn[key]
+
+    def _device_fn_raw(self, scale: float, batch: int, canvas_hw=None):
+        """Un-jitted per-scale program (for composition into the single
+        whole-batch dispatch program)."""
+        side = bucket_side(scale, self.max_side)
+        ch, cw = canvas_hw or (side, side)
+        key = (scale, batch, ch, cw)
+        if key not in self._device_scale_raw:
+            self._device_fn_for(scale, batch, canvas_hw)
+        return self._device_scale_raw[key]
+
+    def _device_pipeline_for(self, batch: int, canvases: tuple, upload_kind: str):
+        """ONE jit program for the whole batch: uint8-canvas unpack -> all
+        TTA scales -> fused/packed download buffer.  The relay link charges
+        per-execution overhead, and a single program also lets XLA schedule
+        across scale boundaries; the per-scale programs remain for the
+        non-fused path and for debugging."""
+        key = (upload_kind, batch, canvases)
+        if key not in self._device_pipeline:
+            from muscle_tpu.inference.upload import (
+                square_unpack_fn,
+                ycbcr420_unpack_fn,
+            )
+
+            raws = [
+                self._device_fn_raw(s, batch, cv)
+                for s, cv in zip(self.scales, canvases)
+            ]
+            fuse = self._fuse_gathered
+            k = self.max_classes
+            acc = self.acc_side
+            nc = self.num_classes
+            rc = self.return_cam
+            nv = jnp.float32(2 * len(self.scales))
+            if upload_kind == "ycbcr420":
+                unpack = ycbcr420_unpack_fn(self.out_side)
+            elif upload_kind == "tight":
+                unpack = square_unpack_fn(self.out_side)
+            else:
+                unpack = None
+
+            @jax.jit
+            def pipeline(variables, up_args, orig_sizes, class_idx):
+                images = unpack(*up_args) if unpack is not None else up_args[0]
+                b = orig_sizes.shape[0]
+                accs = {
+                    "sgc": jnp.zeros((b, acc, acc, k), jnp.float32),
+                    "logits": jnp.zeros((b, nc), jnp.float32),
+                }
+                if rc:
+                    accs["cam"] = jnp.zeros((b, acc, acc, k), jnp.float32)
+                for raw in raws:
+                    accs = raw(variables, images, orig_sizes, class_idx, accs)
+                return fuse(accs, orig_sizes, nv)
+
+            self._device_pipeline[key] = pipeline
+        return self._device_pipeline[key]
 
     @functools.cached_property
     def _fuse_gathered(self):
@@ -463,11 +528,21 @@ class CamTTAEngine:
         accum_stride > 1 the max/min over that grid track the full-res
         extrema because the maps are bilinear fields of far coarser
         (stride-16) model outputs (extrema of a bilinear field sit at its
-        nodes)."""
+        nodes).
+
+        Returns ONE packed (B, bytes) uint8 buffer: the maps bitcast to
+        bytes with the f32 score bytes appended — the device->host link is
+        a ~30 ms-RTT relay, so fetching maps and scores as separate arrays
+        costs a full extra round trip per batch.  The bitcast is exact
+        (scores stay f32)."""
         acc_side = self.acc_side
         stride = self.accum_stride
         return_cam = self.return_cam
         quantize = self.download_dtype == "uint8"
+
+        def tobytes(x):
+            y = jax.lax.bitcast_convert_type(x, jnp.uint8)
+            return y.reshape(y.shape[0], -1)
 
         @jax.jit
         def fuse(accs, orig_sizes, n_versions):
@@ -490,11 +565,34 @@ class CamTTAEngine:
 
             sgc = jax.vmap(norm)(accs["sgc"], orig_sizes)
             score = jax.nn.sigmoid(accs["logits"][:, 1:] / n_versions)
+            parts = [tobytes(sgc)]
             if return_cam:
-                return jax.vmap(norm)(accs["cam"], orig_sizes), sgc, score
-            return sgc, score
+                parts.insert(0, tobytes(jax.vmap(norm)(accs["cam"], orig_sizes)))
+            parts.append(tobytes(score.astype(jnp.float32)))
+            return jnp.concatenate(parts, axis=1)
 
         return fuse
+
+    def _unpack_fused(self, buf: np.ndarray, k: int):
+        """Host-side split of the packed _fuse_gathered buffer back into
+        (cam?, sgc, score) arrays."""
+        b = buf.shape[0]
+        acc = self.acc_side
+        itemsize = 1 if self.download_dtype == "uint8" else 2
+        map_dt = np.uint8 if itemsize == 1 else np.float16
+        nbytes = acc * acc * k * itemsize
+
+        def view(sl, dt, shape):
+            return np.ascontiguousarray(sl).view(dt).reshape(shape)
+
+        off = 0
+        cam = None
+        if self.return_cam:
+            cam = view(buf[:, :nbytes], map_dt, (b, acc, acc, k))
+            off = nbytes
+        sgc = view(buf[:, off : off + nbytes], map_dt, (b, acc, acc, k))
+        score = view(buf[:, off + nbytes :], np.float32, (b, self.num_classes - 1))
+        return cam, sgc, score
 
     @functools.cached_property
     def _fuse(self):
@@ -676,34 +774,28 @@ class CamTTAEngine:
         assert self.device_tta, "async pipeline requires device_tta"
         return self._run_batch_device(pil_images, names, labels, defer=True)
 
-    def _run_batch_device(self, pil_images, names, labels, defer: bool = False):
-        """device_tta fast path: one uint8 upload per image, all scaling on
-        device, label-selected download."""
+    def _host_prep(self, pil_images, names, labels):
+        """Host-side stage of the device_tta path: canvas packing + class
+        budget.  Pure CPU work (PIL, numpy) — safe to run on a prefetch
+        thread while the device computes the previous batch."""
         from muscle_tpu.data.tta import pack_canvas, pack_canvas_ycbcr
-        from muscle_tpu.inference.upload import square_unpack_fn, ycbcr420_unpack_fn
 
         b = len(pil_images)
-        if b == 0:
-            return (lambda: []) if defer else []
         if self.upload_mode == "ycbcr420":
             y, c, orig_sizes, transposed = pack_canvas_ycbcr(
                 pil_images, names, self.out_side, self.tight_upload
             )
-            images_dev = ycbcr420_unpack_fn(self.out_side)(
-                self._put(y, b), self._put(c, b), self._put(transposed, b)
-            )
+            upload = ("ycbcr420", y, c, transposed)
         elif self.tight_upload:
             canvas, orig_sizes, transposed = pack_canvas(
                 pil_images, names, self.out_side, True
             )
-            images_dev = square_unpack_fn(self.out_side)(
-                self._put(canvas, b), self._put(transposed, b)
-            )
+            upload = ("tight", canvas, transposed)
         else:
             canvas, orig_sizes, _ = pack_canvas(
                 pil_images, names, self.out_side, False
             )
-            images_dev = self._put(canvas, b)
+            upload = ("rgb", canvas)
 
         k = self.max_classes
         class_idx = np.zeros((b, k), np.int32)
@@ -712,9 +804,64 @@ class CamTTAEngine:
             keep = np.nonzero(np.asarray(lab) > 1e-5)[0][:k]
             class_idx[i, : len(keep)] = keep
             counts[i] = len(keep)
+        return {
+            "b": b,
+            "names": list(names),
+            "upload": upload,
+            "orig_sizes": orig_sizes,
+            "class_idx": class_idx,
+            "counts": counts,
+        }
+
+    def _run_batch_device(self, pil_images, names, labels, defer: bool = False):
+        """device_tta fast path: one uint8 upload per image, all scaling on
+        device, label-selected download."""
+        b = len(pil_images)
+        if b == 0:
+            return (lambda: []) if defer else []
+        finalize = self._dispatch_prepped(self._host_prep(pil_images, names, labels))
+        return finalize if defer else finalize()
+
+    def _dispatch_prepped(self, prep: dict):
+        """Upload + enqueue all device programs for a prepped batch; returns
+        the (blocking) ``finalize() -> list[dict]`` closure.  Main-thread
+        stage of the pipeline: everything here is an async dispatch."""
+        from muscle_tpu.inference.upload import square_unpack_fn, ycbcr420_unpack_fn
+
+        b = prep["b"]
+        names = prep["names"]
+        orig_sizes = prep["orig_sizes"]
+        class_idx = prep["class_idx"]
+        counts = prep["counts"]
+        up = prep["upload"]
+        k = self.max_classes
+        stride = self.accum_stride
+
+        if self.fuse_dispatch:
+            canvases = tuple(
+                _batch_canvas(s, orig_sizes, self.max_side) for s in self.scales
+            )
+            fn = self._device_pipeline_for(b, canvases, up[0])
+            fused = fn(
+                self.variables,
+                tuple(self._put(a, b) for a in up[1:]),
+                self._put(orig_sizes, b),
+                self._put(class_idx, b),
+            )
+            return self._make_finalize(fused, names, orig_sizes, class_idx, counts, k)
+
+        if up[0] == "ycbcr420":
+            images_dev = ycbcr420_unpack_fn(self.out_side)(
+                self._put(up[1], b), self._put(up[2], b), self._put(up[3], b)
+            )
+        elif up[0] == "tight":
+            images_dev = square_unpack_fn(self.out_side)(
+                self._put(up[1], b), self._put(up[2], b)
+            )
+        else:
+            images_dev = self._put(up[1], b)
 
         acc = self.acc_side
-        stride = self.accum_stride
         # zeros are created on device (jnp) when unsharded — _put would
         # UPLOAD host zeros through the link; under a mesh they are placed
         # host-side once with the batch sharding
@@ -738,6 +885,10 @@ class CamTTAEngine:
             fn = self._device_fn_for(s, b, _batch_canvas(s, orig_sizes, self.max_side))
             accs = fn(self.variables, images_dev, sizes_dev, idx_dev, accs)
         fused = self._fuse_gathered(accs, sizes_dev, jnp.float32(2 * len(self.scales)))
+        return self._make_finalize(fused, names, orig_sizes, class_idx, counts, k)
+
+    def _make_finalize(self, fused, names, orig_sizes, class_idx, counts, k):
+        stride = self.accum_stride
 
         def expand(m: np.ndarray, hh: int, ww: int) -> np.ndarray:
             """Slice one fused channel to its valid region, dequantise, and
@@ -757,11 +908,7 @@ class CamTTAEngine:
             ).astype(np.float16)
 
         def finalize() -> list[dict]:
-            if self.return_cam:
-                cam, sgc, score = (np.asarray(a) for a in fused)
-            else:
-                cam = None
-                sgc, score = (np.asarray(a) for a in fused)
+            cam, sgc, score = self._unpack_fused(np.asarray(fused), k)
             out = []
             for i, name in enumerate(names):
                 hh, ww = orig_sizes[i]
@@ -778,4 +925,55 @@ class CamTTAEngine:
                 out.append(rec)
             return out
 
-        return finalize if defer else finalize()
+        return finalize
+
+    def run_stream(self, batches, prep_ahead: int = 2, finalize_ahead: int = 2):
+        """Fully-overlapped streaming pipeline over an iterable of
+        ``(pil_images, names, labels)`` batches; yields each batch's result
+        list in order.
+
+        Three stages run concurrently:
+          prep (thread)     — PIL canvas packing (``_host_prep``; PIL/numpy
+                              release the GIL for the heavy copies),
+          dispatch (caller) — async uploads + per-scale program enqueue,
+          finalize (thread) — blocking device->host fetch + per-class host
+                              upsample.
+        With ``run_batch_async``'s 2-deep pipeline the caller's thread still
+        serialises prep and finalize between dispatches, which on a
+        single-vCPU host costs more than the device compute; here the
+        device-bound stage is the only one on the critical path.
+        """
+        import queue as _queue
+        import threading
+
+        prep_q: _queue.Queue = _queue.Queue(maxsize=max(1, prep_ahead))
+        _SENTINEL = object()
+
+        def produce():
+            try:
+                for batch in batches:
+                    prep_q.put(self._host_prep(*batch))
+            except BaseException as e:  # surface in the consumer
+                prep_q.put(e)
+                return
+            prep_q.put(_SENTINEL)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as fin_ex:
+            pending: list = []
+            while True:
+                item = prep_q.get()
+                if item is _SENTINEL:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                finalize = self._dispatch_prepped(item)
+                pending.append(fin_ex.submit(finalize))
+                if len(pending) > finalize_ahead:
+                    yield pending.pop(0).result()
+            for fut in pending:
+                yield fut.result()

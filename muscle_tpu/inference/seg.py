@@ -107,6 +107,12 @@ class SegTTAEngine:
             raise ValueError(f"unsupported upload_mode {upload_mode!r}")
         self.upload_mode = upload_mode
         self._scale_fn = {}
+        self._scale_raw = {}
+        self._device_pipeline = {}
+        # one jit program per batch shape (unpack + every scale + finish)
+        # instead of len(scales)+2 chained dispatches; the relay link
+        # charges per-execution overhead (see CamTTAEngine._device_pipeline_for)
+        self.fuse_dispatch = device_tta
 
     def _core(self, scale: float, canvas_h: int, canvas_w: int):
         """Shared per-scale compute: scaled images -> accumulated probs.
@@ -208,8 +214,53 @@ class SegTTAEngine:
                     images = jax.lax.with_sharding_constraint(images, spatial_sh)
                 return compute(variables, images, scaled, orig_sizes, acc)
 
+            self._scale_raw[key] = run.__wrapped__
             self._scale_fn[key] = run
         return self._scale_fn[key]
+
+    def _device_fn_raw(self, scale: float, batch: int, canvas_hw=None):
+        side = bucket_side(scale, self.max_side)
+        ch, cw = canvas_hw or (side, side)
+        key = (scale, batch, ch, cw, True)
+        if key not in self._scale_raw:
+            self._device_fn_for(scale, batch, canvas_hw)
+        return self._scale_raw[key]
+
+    def _device_pipeline_for(self, batch: int, canvases: tuple, upload_kind: str):
+        """ONE jit program: unpack -> all TTA scales -> mean/downcast (see
+        CamTTAEngine._device_pipeline_for)."""
+        key = (upload_kind, batch, canvases)
+        if key not in self._device_pipeline:
+            from muscle_tpu.inference.upload import (
+                square_unpack_fn,
+                ycbcr420_unpack_fn,
+            )
+
+            raws = [
+                self._device_fn_raw(s, batch, cv)
+                for s, cv in zip(self.scales, canvases)
+            ]
+            finish = self._finish
+            acc_side = self.acc_side
+            nc = self.num_classes
+            if upload_kind == "ycbcr420":
+                unpack = ycbcr420_unpack_fn(self.out_side)
+            elif upload_kind == "tight":
+                unpack = square_unpack_fn(self.out_side)
+            else:
+                unpack = None
+
+            @jax.jit
+            def pipeline(variables, up_args, orig_sizes):
+                images = unpack(*up_args) if unpack is not None else up_args[0]
+                b = orig_sizes.shape[0]
+                acc = jnp.zeros((b, acc_side, acc_side, nc), jnp.float32)
+                for raw in raws:
+                    acc = raw(variables, images, orig_sizes, acc)
+                return finish(acc)
+
+            self._device_pipeline[key] = pipeline
+        return self._device_pipeline[key]
 
     def _put(self, x, b: int):
         """See CamTTAEngine._put."""
@@ -245,52 +296,41 @@ class SegTTAEngine:
         of batch n with batch n+1's upload + compute)."""
         return self._run_batch(pil_images, names, cls_gates, defer=True)
 
+    def _host_prep(self, pil_images, names, cls_gates=None):
+        """Host-side stage (CPU canvas packing) — see CamTTAEngine._host_prep."""
+        from muscle_tpu.data.tta import pack_canvas, pack_canvas_ycbcr
+
+        if self.upload_mode == "ycbcr420":
+            y, c, orig_sizes, transposed = pack_canvas_ycbcr(
+                pil_images, names, self.out_side, self.tight_upload
+            )
+            upload = ("ycbcr420", y, c, transposed)
+        elif self.tight_upload:
+            canvas, orig_sizes, transposed = pack_canvas(
+                pil_images, names, self.out_side, True
+            )
+            upload = ("tight", canvas, transposed)
+        else:
+            canvas, orig_sizes, _ = pack_canvas(pil_images, names, self.out_side, False)
+            upload = ("rgb", canvas)
+        return {
+            "b": len(pil_images),
+            "names": list(names),
+            "upload": upload,
+            "orig_sizes": orig_sizes,
+            "cls_gates": cls_gates,
+        }
+
     def _run_batch(self, pil_images, names, cls_gates, defer: bool):
         b = len(pil_images)
         stride = self.accum_stride
         acc = jnp.zeros((b, self.acc_side, self.acc_side, self.num_classes), jnp.float32)
 
         if self.device_tta:
-            from muscle_tpu.data.tta import pack_canvas, pack_canvas_ycbcr
-            from muscle_tpu.inference.upload import (
-                square_unpack_fn,
-                ycbcr420_unpack_fn,
+            finalize = self._dispatch_prepped(
+                self._host_prep(pil_images, names, cls_gates)
             )
-
-            if self.upload_mode == "ycbcr420":
-                y, c, orig_sizes, transposed = pack_canvas_ycbcr(
-                    pil_images, names, self.out_side, self.tight_upload
-                )
-                images_dev = ycbcr420_unpack_fn(self.out_side)(
-                    self._put(y, b), self._put(c, b), self._put(transposed, b)
-                )
-            elif self.tight_upload:
-                canvas, orig_sizes, transposed = pack_canvas(
-                    pil_images, names, self.out_side, True
-                )
-                images_dev = square_unpack_fn(self.out_side)(
-                    self._put(canvas, b), self._put(transposed, b)
-                )
-            else:
-                canvas, orig_sizes, _ = pack_canvas(
-                    pil_images, names, self.out_side, False
-                )
-                images_dev = self._put(canvas, b)
-            from muscle_tpu.inference.cam import _batch_canvas
-
-            if self.mesh is not None:
-                acc = self._put(
-                    np.zeros(
-                        (b, self.acc_side, self.acc_side, self.num_classes),
-                        np.float32,
-                    ),
-                    b,
-                )
-            sizes_dev = self._put(orig_sizes, b)
-            for s in self.scales:
-                acc = self._device_fn_for(
-                    s, b, _batch_canvas(s, orig_sizes, self.max_side)
-                )(self.variables, images_dev, sizes_dev, acc)
+            return finalize if defer else finalize()
         else:
             assert not defer, "async pipeline requires device_tta"
             orig_sizes = None
@@ -304,36 +344,142 @@ class SegTTAEngine:
                 orig_sizes = mb.orig_sizes
         fused = self._finish(acc)
 
-        def expand(m: np.ndarray, hh: int, ww: int) -> np.ndarray:
-            """Valid slice + (accum_stride > 1) host bilinear upsample of
-            one image's (acc, acc, C) mean probs to (hh, ww, C) f32."""
-            if stride == 1:
-                return m[:hh, :ww].astype(np.float32)
-            from PIL import Image
-
-            ah = -(-hh // stride)
-            aw = -(-ww // stride)
-            chans = [
-                np.asarray(
-                    Image.fromarray(
-                        np.ascontiguousarray(m[:ah, :aw, c], np.float32), "F"
-                    ).resize((ww, hh), Image.BILINEAR),
-                    np.float32,
-                )
-                for c in range(m.shape[-1])
-            ]
-            return np.stack(chans, axis=-1)
-
         def finalize() -> list[dict]:
             mean = np.asarray(fused)
             out = []
             for i, name in enumerate(names):
                 hh, ww = orig_sizes[i]
-                probs = expand(mean[i], hh, ww)
+                probs = self._expand(mean[i], hh, ww)
                 if cls_gates is not None and cls_gates[i] is not None:
                     gate = np.asarray(cls_gates[i]).reshape(-1)
                     probs[..., 1:] *= gate[1:][None, None, :]
                 out.append({"name": name, "probs": probs})
             return out
 
-        return finalize if defer else finalize()
+        return finalize()
+
+    def _dispatch_prepped(self, prep: dict):
+        """Upload + enqueue the device programs; returns finalize()."""
+        from muscle_tpu.inference.upload import square_unpack_fn, ycbcr420_unpack_fn
+        from muscle_tpu.inference.cam import _batch_canvas
+
+        b = prep["b"]
+        names = prep["names"]
+        orig_sizes = prep["orig_sizes"]
+        cls_gates = prep["cls_gates"]
+        up = prep["upload"]
+        if self.fuse_dispatch:
+            canvases = tuple(
+                _batch_canvas(s, orig_sizes, self.max_side) for s in self.scales
+            )
+            fused = self._device_pipeline_for(b, canvases, up[0])(
+                self.variables,
+                tuple(self._put(a, b) for a in up[1:]),
+                self._put(orig_sizes, b),
+            )
+        else:
+            if up[0] == "ycbcr420":
+                images_dev = ycbcr420_unpack_fn(self.out_side)(
+                    self._put(up[1], b), self._put(up[2], b), self._put(up[3], b)
+                )
+            elif up[0] == "tight":
+                images_dev = square_unpack_fn(self.out_side)(
+                    self._put(up[1], b), self._put(up[2], b)
+                )
+            else:
+                images_dev = self._put(up[1], b)
+
+            acc = jnp.zeros(
+                (b, self.acc_side, self.acc_side, self.num_classes), jnp.float32
+            )
+            if self.mesh is not None:
+                acc = self._put(
+                    np.zeros(
+                        (b, self.acc_side, self.acc_side, self.num_classes),
+                        np.float32,
+                    ),
+                    b,
+                )
+            sizes_dev = self._put(orig_sizes, b)
+            for s in self.scales:
+                acc = self._device_fn_for(
+                    s, b, _batch_canvas(s, orig_sizes, self.max_side)
+                )(self.variables, images_dev, sizes_dev, acc)
+            fused = self._finish(acc)
+
+        def finalize() -> list[dict]:
+            mean = np.asarray(fused)
+            out = []
+            for i, name in enumerate(names):
+                hh, ww = orig_sizes[i]
+                probs = self._expand(mean[i], hh, ww)
+                if cls_gates is not None and cls_gates[i] is not None:
+                    gate = np.asarray(cls_gates[i]).reshape(-1)
+                    probs[..., 1:] *= gate[1:][None, None, :]
+                out.append({"name": name, "probs": probs})
+            return out
+
+        return finalize
+
+    def _expand(self, m: np.ndarray, hh: int, ww: int) -> np.ndarray:
+        """Valid slice + (accum_stride > 1) host bilinear upsample of one
+        image's (acc, acc, C) mean probs to (hh, ww, C) f32."""
+        if self.accum_stride == 1:
+            return m[:hh, :ww].astype(np.float32)
+        from PIL import Image
+
+        stride = self.accum_stride
+        ah = -(-hh // stride)
+        aw = -(-ww // stride)
+        chans = [
+            np.asarray(
+                Image.fromarray(
+                    np.ascontiguousarray(m[:ah, :aw, c], np.float32), "F"
+                ).resize((ww, hh), Image.BILINEAR),
+                np.float32,
+            )
+            for c in range(m.shape[-1])
+        ]
+        return np.stack(chans, axis=-1)
+
+    def run_stream(self, batches, prep_ahead: int = 1, finalize_ahead: int = 1):
+        """Fully-overlapped streaming pipeline over an iterable of
+        ``(pil_images, names[, cls_gates])`` batches; yields each batch's
+        result list in order (see CamTTAEngine.run_stream).
+
+        Default depth is SHALLOWER than the CAM engine's: seg batches
+        download ~2.8 MB of class probabilities each, and on the relay
+        link a deeper in-flight queue delays those fetches behind the
+        next batches' uploads (measured: depth 2/2 runs ~20% slower than
+        2-in-flight; depth 1/1 matches it with the same threaded shape)."""
+        import queue as _queue
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+
+        assert self.device_tta, "run_stream requires device_tta"
+        prep_q: _queue.Queue = _queue.Queue(maxsize=max(1, prep_ahead))
+        _SENTINEL = object()
+
+        def produce():
+            try:
+                for batch in batches:
+                    prep_q.put(self._host_prep(*batch))
+            except BaseException as e:
+                prep_q.put(e)
+                return
+            prep_q.put(_SENTINEL)
+
+        threading.Thread(target=produce, daemon=True).start()
+        with ThreadPoolExecutor(max_workers=1) as fin_ex:
+            pending: list = []
+            while True:
+                item = prep_q.get()
+                if item is _SENTINEL:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                pending.append(fin_ex.submit(self._dispatch_prepped(item)))
+                if len(pending) > finalize_ahead:
+                    yield pending.pop(0).result()
+            for fut in pending:
+                yield fut.result()

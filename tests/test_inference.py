@@ -461,3 +461,73 @@ def test_random_walk_refiner(tmp_path):
     )
     out16 = b16.refine_image(img, cam_dict)
     assert np.abs(out16 - scores).mean() < 0.02, np.abs(out16 - scores).mean()
+
+
+def test_cam_run_stream_matches_run_batch(enc_model):
+    """The threaded prep->dispatch->finalize stream must be bitwise
+    identical to the per-batch device path, per batch and in order."""
+    model, variables = enc_model
+    engine = CamTTAEngine(
+        model, variables, scales=(0.5, 1.0), out_side=64, max_side=60,
+        device_tta=True, max_classes=4, return_cam=False, accum_stride=4,
+        download_dtype="uint8", tight_upload=True, upload_mode="ycbcr420",
+    )
+
+    def batch(i):
+        sizes = [(50, 40), (40, 56)]
+        labels = [np.zeros(20, np.float32) for _ in sizes]
+        labels[0][[i % 20, (i + 3) % 20]] = 1
+        labels[1][[(i + 1) % 20]] = 1
+        return _imgs(sizes, seed=i), [f"s{i}_0", f"s{i}_1"], labels
+
+    want = [engine.run_batch(*batch(i)) for i in range(3)]
+    got = list(engine.run_stream(batch(i) for i in range(3)))
+    assert len(got) == 3
+    for wb, gb in zip(want, got):
+        for w, g in zip(wb, gb):
+            assert w["name"] == g["name"]
+            np.testing.assert_array_equal(w["score"], g["score"])
+            assert sorted(w["sgc"]) == sorted(g["sgc"])
+            for k in w["sgc"]:
+                np.testing.assert_array_equal(w["sgc"][k], g["sgc"][k])
+
+
+def test_cam_run_stream_propagates_producer_error(enc_model):
+    model, variables = enc_model
+    engine = CamTTAEngine(
+        model, variables, scales=(0.5,), out_side=64, max_side=60,
+        device_tta=True, max_classes=2, return_cam=False, accum_stride=4,
+        download_dtype="uint8", tight_upload=True, upload_mode="ycbcr420",
+    )
+
+    def batches():
+        yield _imgs([(40, 40)]), ["ok"], [np.ones(20, np.float32)]
+        raise RuntimeError("decode failed")
+
+    with pytest.raises(RuntimeError, match="decode failed"):
+        list(engine.run_stream(batches()))
+
+
+def test_seg_run_stream_matches_run_batch(enc_model):
+    model = MuSCLe(
+        backbone_name="efficientnet-b1", mode="dec", bifpn_layers=1,
+        last_pooling=True,
+    )
+    variables = model.init(
+        {"params": jax.random.key(1)}, jnp.zeros((1, 32, 32, 3)), mode="seg"
+    )
+    engine = SegTTAEngine(
+        model, variables, scales=(0.5, 1.0), out_side=64, max_side=60,
+        accum_stride=4, download_dtype="float16", tight_upload=True,
+        upload_mode="ycbcr420",
+    )
+
+    def batch(i):
+        return _imgs([(50, 40), (40, 56)], seed=10 + i), [f"g{i}_0", f"g{i}_1"]
+
+    want = [engine.run_batch(*batch(i)) for i in range(2)]
+    got = list(engine.run_stream(batch(i) for i in range(2)))
+    for wb, gb in zip(want, got):
+        for w, g in zip(wb, gb):
+            assert w["name"] == g["name"]
+            np.testing.assert_array_equal(w["probs"], g["probs"])
