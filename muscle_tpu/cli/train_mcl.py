@@ -35,6 +35,11 @@ def main(argv=None) -> None:
                         "<session_name>/step_<epoch> — unlike the reference, "
                         "optimizer state survives restarts")
     p.add_argument("--backbone", default="efficientnet-b3", type=str)
+    p.add_argument("--device_norm", default=1, type=int,
+                   help="1 = ship uint8 batches and ImageNet-normalise on "
+                        "device (4x less host->device traffic; pad/erase "
+                        "fill deviates <= 0.009, see VOC12ClsPixDataset); "
+                        "0 = host-normalised f32 (reference-exact)")
     p.add_argument("--bf16", default=0, type=int,
                    help="bf16 model compute (f32 params/optimizer) — the "
                         "TPU mixed-precision fast path; ~2x step time")
@@ -74,7 +79,10 @@ def main(argv=None) -> None:
     from muscle_tpu.utils.tb_events import EventWriter
 
     names, labels = load_lists(args, args.train_list)
-    dataset = VOC12ClsPixDataset(names, args.voc12_root, labels, crop_size=args.crop_size)
+    dataset = VOC12ClsPixDataset(
+        names, args.voc12_root, labels, crop_size=args.crop_size,
+        device_norm=bool(args.device_norm),
+    )
     loader = PrefetchLoader(
         dataset,
         args.batch_size,

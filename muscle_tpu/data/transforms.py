@@ -14,6 +14,10 @@ from PIL import Image, ImageEnhance
 
 IMAGENET_MEAN = np.array([[[0.485, 0.456, 0.406]]], dtype=np.float64)
 IMAGENET_STD = np.array([[[0.229, 0.224, 0.225]]], dtype=np.float64)
+# nearest uint8 to the mean: pad/erase fill for the uint8 (device-norm)
+# pipeline — normalises on device to |x| <= 0.5/255/std ~ 0.009 instead of
+# the reference's exact 0 (bounded deviation, tests/test_datasets.py)
+IMAGENET_MEAN_U8 = np.round(IMAGENET_MEAN[0, 0] * 255.0).astype(np.uint8)
 
 # Pillow 10 removed Image.CUBIC; the reference used PIL.Image.CUBIC
 # (== BICUBIC) for all multi-scale resizes (src/data.py:162).
@@ -47,12 +51,21 @@ def random_resize_long(
 
 
 def random_crop(
-    arr: np.ndarray, cropsize: int, rng: np.random.Generator, extra: np.ndarray | None = None
+    arr: np.ndarray,
+    cropsize: int,
+    rng: np.random.Generator,
+    extra: np.ndarray | None = None,
+    fill=0.0,
 ):
     """Random crop, zero-padding when the image is smaller than the crop
     (reference RandomCrop, src/imutils.py:143-181; WithMask variant :80-118).
 
-    arr (and optional ``extra``, cropped jointly) are HWC.
+    arr (and optional ``extra``, cropped jointly) are HWC.  Output dtype
+    follows ``arr`` for float inputs (float32) and is preserved for uint8
+    (the device-norm pipeline); ``fill`` sets the padding value of the
+    FIRST array only (uint8 pipelines pass the ImageNet mean so that
+    on-device normalisation maps the pad to ~0 like the reference's
+    normalised-space zero pad) — ``extra`` (masks) always pads with 0.
     """
     h, w = arr.shape[:2]
     ch, cw = min(cropsize, h), min(cropsize, w)
@@ -66,16 +79,17 @@ def random_crop(
     else:
         cont_top, img_top = int(rng.integers(0, -h_space + 1)), 0
 
-    def place(a: np.ndarray) -> np.ndarray:
-        out = np.zeros((cropsize, cropsize, a.shape[-1]), np.float32)
+    def place(a: np.ndarray, fill_value=0.0) -> np.ndarray:
+        dt = a.dtype if a.dtype == np.uint8 else np.float32
+        out = np.full((cropsize, cropsize, a.shape[-1]), fill_value, dt)
         out[cont_top : cont_top + ch, cont_left : cont_left + cw] = a[
             img_top : img_top + ch, img_left : img_left + cw
         ]
         return out
 
     if extra is None:
-        return place(arr)
-    return place(arr), place(extra)
+        return place(arr, fill)
+    return place(arr, fill), place(extra)
 
 
 def color_jitter(
@@ -119,9 +133,13 @@ def random_erasing(
     p: float = 0.5,
     scale: tuple[float, float] = (0.02, 0.2),
     ratio: tuple[float, float] = (0.3, 3.3),
+    value=0.0,
 ) -> np.ndarray:
     """torchvision RandomErasing semantics (train_mcl.py:114): erase a random
-    rectangle (value 0) with probability p.  arr: HWC float."""
+    rectangle (value 0) with probability p.  arr: HWC float or uint8 (the
+    device-norm pipeline passes the ImageNet-mean uint8 as ``value`` so the
+    erased region normalises to ~0 on device, matching the reference's
+    erase-after-normalise)."""
     if rng.random() >= p:
         return arr
     h, w = arr.shape[:2]
@@ -135,7 +153,7 @@ def random_erasing(
             top = int(rng.integers(0, h - eh + 1))
             left = int(rng.integers(0, w - ew + 1))
             arr = arr.copy()
-            arr[top : top + eh, left : left + ew] = 0.0
+            arr[top : top + eh, left : left + ew] = value
             return arr
     return arr
 

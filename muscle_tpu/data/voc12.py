@@ -151,10 +151,19 @@ class VOC12ClsPixDataset(VOC12ImageDataset):
         labels,
         crop_size: int = 448,
         view_size: tuple[int, int] = (224, 224),
+        device_norm: bool = False,
     ):
         super().__init__(name_list, voc12_root, labels)
         self.crop_size = crop_size
         self.view_size = view_size
+        # device_norm: emit uint8 images (4x less host->device traffic);
+        # the train steps normalise on device (training/mcl.py
+        # norm_on_device).  Pad/erase regions use the nearest-uint8
+        # ImageNet mean instead of the reference's normalised-space zero
+        # (|delta| <= 0.009 in those pixels only; everything else is the
+        # identical value pre-quantisation).  Same rng draw sequence as
+        # the f32 path, so curricula are reproducible across modes.
+        self.device_norm = device_norm
 
     def get(self, idx: int, rng: np.random.Generator) -> dict[str, np.ndarray]:
         img = self.image(idx)
@@ -165,18 +174,31 @@ class VOC12ClsPixDataset(VOC12ImageDataset):
         # main branch (train_mcl.py:106-115)
         main = T.random_resize_long(img, 448, 768, rng)
         main = T.color_jitter(main, rng)
-        main = T.color_norm(np.asarray(main))
-        main = T.random_crop(main, self.crop_size, rng)
-        main = T.random_erasing(main, rng)
+        if self.device_norm:
+            main = np.asarray(main)
+            fill = T.IMAGENET_MEAN_U8
+            main = T.random_crop(main, self.crop_size, rng, fill=fill)
+            main = T.random_erasing(main, rng, value=fill)
 
-        def view_tf(v: Image.Image) -> np.ndarray:
-            v = T.color_jitter(v, rng)
-            return T.color_norm(np.asarray(v))
+            def view_tf(v: Image.Image) -> np.ndarray:
+                return np.asarray(T.color_jitter(v, rng), np.uint8)
+
+            out_dtype = np.uint8
+        else:
+            main = T.color_norm(np.asarray(main))
+            main = T.random_crop(main, self.crop_size, rng)
+            main = T.random_erasing(main, rng)
+
+            def view_tf(v: Image.Image) -> np.ndarray:
+                v = T.color_jitter(v, rng)
+                return T.color_norm(np.asarray(v))
+
+            out_dtype = np.float32
 
         return {
-            "img": main.astype(np.float32),
-            "view1": view_tf(view1).astype(np.float32),
-            "view2": view_tf(view2).astype(np.float32),
+            "img": main.astype(out_dtype),
+            "view1": view_tf(view1).astype(out_dtype),
+            "view2": view_tf(view2).astype(out_dtype),
             "coord1": np.asarray(coord1, np.int32),
             "coord2": np.asarray(coord2, np.int32),
             "label": self.label(idx),

@@ -40,9 +40,27 @@ class MCLConfig:
     use_emd: bool = False  # epoch >= 12
 
 
+def norm_on_device(img):
+    """ImageNet-normalise a uint8 image batch on device; float batches pass
+    through unchanged (they were normalised on host).
+
+    Training batches can ship as uint8 (VOC12ClsPixDataset device_norm=True)
+    — 4x less host->device traffic than normalised f32, and the divide/
+    subtract fuses into the stem conv's input processing under XLA.  The
+    dtype check is static under jit (one compile per input dtype)."""
+    if img.dtype != jnp.uint8:
+        return img
+    from muscle_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+
+    mean = jnp.asarray(IMAGENET_MEAN[0, 0], jnp.float32)
+    std = jnp.asarray(IMAGENET_STD[0, 0], jnp.float32)
+    return (img.astype(jnp.float32) / 255.0 - mean) / std
+
+
 @functools.partial(jax.jit, static_argnames=("model", "tx", "cfg"), donate_argnums=(2,))
 def mcl_train_step(model, tx, state, batch, rng, cfg: MCLConfig):
     """Step A.  batch: img (N,H,W,3), label (N,20).  Returns (state, metrics)."""
+    batch = dict(batch, img=norm_on_device(batch["img"]))
     label = batch["label"]
     label_bg = attach_bg_channel(label)
     valid_channels = jnp.sum(label)
@@ -116,6 +134,11 @@ def mcl_term_grad_norms(model, state, batch, rng,
     trained checkpoints can use the faithful False.
     """
     import optax
+
+    batch = {
+        k: norm_on_device(v) if k in ("img", "view1", "view2") else v
+        for k, v in batch.items()
+    }
 
     def terms_a(params):
         (raw_cams, raw_sgcs, emb, logits), _ = model.apply(
@@ -196,6 +219,11 @@ def mcl_views_step(model, tx, state, batch, rng, cfg: MCLConfig):
     """Step B (PixPro + EMD).  Uses eval-mode forwards (frozen BN stats, no
     drop-connect) exactly like the reference's model.eval() at
     train_mcl.py:203, but keeps gradients for view1."""
+    batch = dict(
+        batch,
+        view1=norm_on_device(batch["view1"]),
+        view2=norm_on_device(batch["view2"]),
+    )
     label_bg = attach_bg_channel(batch["label"])
 
     def loss_fn(params):

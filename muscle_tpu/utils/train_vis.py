@@ -84,8 +84,15 @@ class TrainVisualizer:
             return  # dump on the first step too — cheap input-pipeline sanity
         os.makedirs(self.out_dir, exist_ok=True)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
-        img = np.asarray(batch["img"][:1], np.float32)
-        img8 = denorm_uint8(img[0])
+        raw = np.asarray(batch["img"][:1])
+        if raw.dtype == np.uint8:  # device-norm pipeline ships uint8
+            img8 = raw[0]
+            from muscle_tpu.data.transforms import color_norm
+
+            img = color_norm(raw[0])[None]
+        else:
+            img = raw.astype(np.float32)
+            img8 = denorm_uint8(img[0])
         from PIL import Image
 
         Image.fromarray(img8).save(os.path.join(self.out_dir, f"step{step}_img.png"))

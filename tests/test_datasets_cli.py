@@ -248,3 +248,65 @@ def test_infer_mcl_cli_end_to_end(mini_voc, tmp_path, monkeypatch):
             np.testing.assert_allclose(
                 d0[c].astype(np.float32), d1[c].astype(np.float32), atol=5e-3
             )
+
+
+def test_cls_pix_dataset_device_norm_parity(mini_voc):
+    """The uint8 (device-norm) pipeline must equal the f32 pipeline after
+    on-device normalisation, except pad/erase fills (|delta| <= 0.0095) —
+    same rng draw sequence, so the random geometry is identical."""
+    from muscle_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+
+    root, names = mini_voc
+    labels = np.load(root / "cls_labels.npy", allow_pickle=True).item()
+    kw = dict(crop_size=64, view_size=(32, 32))
+    ds_f = VOC12ClsPixDataset(names, str(root), labels, **kw)
+    ds_u = VOC12ClsPixDataset(names, str(root), labels, device_norm=True, **kw)
+    for idx in range(3):
+        a = ds_f.get(idx, np.random.default_rng(7 + idx))
+        b = ds_u.get(idx, np.random.default_rng(7 + idx))
+        assert b["img"].dtype == np.uint8
+        assert b["view1"].dtype == np.uint8
+        np.testing.assert_array_equal(a["coord1"], b["coord1"])
+        np.testing.assert_array_equal(a["coord2"], b["coord2"])
+        for k in ("img", "view1", "view2"):
+            dev = ((b[k].astype(np.float64) / 255.0) - IMAGENET_MEAN) / IMAGENET_STD
+            delta = np.abs(dev - a[k].astype(np.float64))
+            # exact where pixels came straight from the image; <= half a
+            # uint8 step (normalised) in pad/erase fills
+            assert float(delta.max()) <= 0.5 / 255.0 / IMAGENET_STD.min() + 1e-6
+
+
+def test_mcl_train_step_accepts_uint8(mini_voc):
+    """norm_on_device: a uint8 batch must produce the same loss as the
+    equivalent host-normalised f32 batch."""
+    import jax
+    import jax.numpy as jnp
+
+    from muscle_tpu.data.transforms import color_norm
+    from muscle_tpu.models import MuSCLe
+    from muscle_tpu.training import MCLConfig, create_train_state, mcl_train_step
+    from muscle_tpu.training.state import make_adam
+
+    model = MuSCLe(backbone_name="efficientnet-b1", mode="enc", last_pooling=False)
+    variables = model.init(
+        {"params": jax.random.key(0)}, jnp.zeros((1, 32, 32, 3)), mode="cam"
+    )
+    tx = make_adam(1e-4, 5e-5)
+    rng_np = np.random.default_rng(0)
+    img_u8 = rng_np.integers(0, 256, (2, 64, 64, 3)).astype(np.uint8)
+    label = np.zeros((2, 20), np.float32)
+    label[0, 3] = label[1, 5] = 1.0
+    img_f32 = np.stack([color_norm(im) for im in img_u8])
+    rng = jax.random.key(1)
+    cfg = MCLConfig()
+    losses = []
+    for img in (img_u8, img_f32):
+        # fresh buffers per run: the step donates the state, whose arrays
+        # alias `variables`
+        state = create_train_state(jax.tree.map(jnp.array, variables), tx)
+        state, metrics = mcl_train_step(
+            model, tx, state, {"img": img, "label": label}, rng, cfg
+        )
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    np.testing.assert_allclose(losses[0], losses[1], rtol=2e-5)
