@@ -25,6 +25,9 @@ def main(argv=None) -> None:
                    help="directory of pseudo-label PNGs (e.g. from CAM+CRF)")
     p.add_argument("--session_name", default="runs/irn", type=str)
     p.add_argument("--crop_size", default=512, type=int)
+    p.add_argument("--device_norm", default=1, type=int,
+                   help="1 = uint8 image + 0/1 uint8 affinity masks decoded "
+                        "on device (~16x less host->device traffic); 0 = f32")
     p.add_argument("--seed", default=0, type=int)
     add_voc_args(p)
     args = p.parse_args(argv)
@@ -44,7 +47,8 @@ def main(argv=None) -> None:
 
     names, labels = load_lists(args, args.train_list)
     dataset = VOC12AffinityDataset(
-        names, args.voc12_root, labels, args.pseudo_label_root, crop_size=args.crop_size
+        names, args.voc12_root, labels, args.pseudo_label_root,
+        crop_size=args.crop_size, device_norm=bool(args.device_norm),
     )
     loader = PrefetchLoader(
         dataset, args.batch_size, seed=args.seed, num_threads=args.num_workers,

@@ -35,6 +35,11 @@ def main(argv=None) -> None:
     p.add_argument("--log_dir", default="logs/muscle", type=str)
     p.add_argument("--resume_epoch", default=None, type=int)
     p.add_argument("--bf16", default=0, type=int)
+    p.add_argument("--device_norm", default=1, type=int,
+                   help="1 = uint8 images + x255-quantised uint8 soft masks, "
+                        "decoded/normalised on device (16x less host->device "
+                        "traffic; bounded deviations documented on "
+                        "VOC12SegDataset); 0 = host f32 (reference-exact)")
     p.add_argument("--vis_every", default=25, type=int,
                    help="dump seg-mask PNGs under <log_dir>/vis every N iters; "
                         "0 disables")
@@ -61,7 +66,7 @@ def main(argv=None) -> None:
     dataset = VOC12SegDataset(
         names, args.voc12_root, labels, args.mask_root,
         min_scale=0.5, max_scale=1.75, crop_size=args.crop_size, mask_type="soft",
-        num_classes=args.num_classes,
+        num_classes=args.num_classes, device_norm=bool(args.device_norm),
     )
     loader = PrefetchLoader(
         dataset, args.batch_size, seed=args.seed, num_threads=args.num_workers,

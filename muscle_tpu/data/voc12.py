@@ -223,6 +223,7 @@ class VOC12AffinityDataset(VOC12ImageDataset):
         radius: int = 5,
         min_scale: float = 0.5,
         max_scale: float = 1.5,
+        device_norm: bool = False,
     ):
         super().__init__(name_list, voc12_root, labels)
         self.pseudo_label_root = pseudo_label_root
@@ -231,6 +232,11 @@ class VOC12AffinityDataset(VOC12ImageDataset):
         self.radius = radius
         self.min_scale = min_scale
         self.max_scale = max_scale
+        # device_norm: uint8 image + 0/1 uint8 affinity masks, decoded on
+        # device by irn_train_step (~16x less host->device traffic; the
+        # masks are exact, the image pad fill deviates <= 0.009 normalised
+        # — see VOC12ClsPixDataset)
+        self.device_norm = device_norm
         from muscle_tpu.ops.random_walk import PathIndex
 
         g = crop_size // stride
@@ -246,10 +252,16 @@ class VOC12AffinityDataset(VOC12ImageDataset):
         img = img.resize((tw, th), resample=T.BILINEAR)
         lab = lab.resize((tw, th), resample=Image.NEAREST)
 
-        arr = T.color_norm(np.asarray(img))
+        if self.device_norm:
+            arr = np.asarray(img)
+            canvas = np.full(
+                (self.crop_size, self.crop_size, 3), T.IMAGENET_MEAN_U8, np.uint8
+            )
+        else:
+            arr = T.color_norm(np.asarray(img))
+            canvas = np.zeros((self.crop_size, self.crop_size, 3), np.float32)
         lab_arr = np.asarray(lab)
         cs = self.crop_size
-        canvas = np.zeros((cs, cs, 3), np.float32)
         lab_canvas = np.full((cs, cs), 255, np.uint8)  # pad = void
         ch, cw = min(th, cs), min(tw, cs)
         top = int(rng.integers(0, max(th - cs, 0) + 1))
@@ -263,6 +275,13 @@ class VOC12AffinityDataset(VOC12ImageDataset):
         # nearest downsample to the stride-4 affinity grid
         small = lab_canvas[self.stride // 2 :: self.stride, self.stride // 2 :: self.stride]
         bg_pos, fg_pos, neg = self._affinity_masks(small)
+        if self.device_norm:
+            return {
+                "img": canvas,
+                "bg_pos": bg_pos.astype(np.uint8),
+                "fg_pos": fg_pos.astype(np.uint8),
+                "neg": neg.astype(np.uint8),
+            }
         return {
             "img": canvas,
             "bg_pos": bg_pos,
@@ -300,6 +319,7 @@ class VOC12SegDataset(VOC12ImageDataset):
         crop_size: int = 448,
         mask_type: str = "soft",
         num_classes: int = 21,
+        device_norm: bool = False,
     ):
         super().__init__(name_list, voc12_root, labels)
         self.mask_root = mask_root
@@ -308,6 +328,14 @@ class VOC12SegDataset(VOC12ImageDataset):
         self.crop_size = crop_size
         self.mask_type = mask_type
         self.num_classes = num_classes
+        # device_norm: ship uint8 images AND x255-quantised uint8 soft
+        # masks (16x less host->device traffic than f32 img + f32 mask);
+        # seg_train_step dequantises/normalises on device.  Bounded
+        # deviations: image pad fill |delta| <= 0.009 normalised (see
+        # VOC12ClsPixDataset) and mask values quantised to 1/255 (CE
+        # argmax can flip only between classes within 1/255 of each
+        # other; BEACON similarities shift O(0.4%)).
+        self.device_norm = device_norm
 
     def _load_mask(self, name: str) -> np.ndarray:
         if self.mask_type == "hard":
@@ -332,10 +360,22 @@ class VOC12SegDataset(VOC12ImageDataset):
         img = img.resize((tw, th), resample=T.BILINEAR)
         mask = T.resize_soft_mask(mask, (th, tw))
 
-        arr = T.color_norm(np.asarray(img))
-        arr, mask = T.random_crop(arr, self.crop_size, rng, extra=mask)
+        if self.device_norm:
+            arr, mask = T.random_crop(
+                np.asarray(img), self.crop_size, rng, extra=mask,
+                fill=T.IMAGENET_MEAN_U8,
+            )
+        else:
+            arr = T.color_norm(np.asarray(img))
+            arr, mask = T.random_crop(arr, self.crop_size, rng, extra=mask)
         if rng.random() < 0.5:
             arr, mask = T.hflip(arr), T.hflip(mask)
+        if self.device_norm:
+            return {
+                "img": arr.astype(np.uint8),
+                "mask": np.round(np.clip(mask, 0.0, 1.0) * 255.0).astype(np.uint8),
+                "label": self.label(idx),
+            }
         return {
             "img": arr.astype(np.float32),
             "mask": mask.astype(np.float32),

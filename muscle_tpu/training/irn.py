@@ -108,9 +108,18 @@ def irn_train_step(model, tx, state, batch, cfg: IRNTrainConfig):
     logits, reference resnet50_irn.py:197-204; the EdgeDisplacement flip
     fusion is inference-only).
     batch: img (N, S, S, 3) crop-padded images; bg_pos/fg_pos/neg
-    (N, D, P) affinity masks over the stride-4 grid path index.
+    (N, D, P) affinity masks over the stride-4 grid path index.  uint8
+    batches (VOC12AffinityDataset device_norm=True) decode on device:
+    images ImageNet-normalise, the 0/1 masks cast exactly.
     """
     pi = _grid_path_index(cfg)
+    from muscle_tpu.training.mcl import norm_on_device
+
+    batch = {
+        k: norm_on_device(v) if k == "img" else
+        (v.astype(jnp.float32) if v.dtype == jnp.uint8 else v)
+        for k, v in batch.items()
+    }
 
     def loss_fn(params):
         edge_out, dp_out = model.apply(

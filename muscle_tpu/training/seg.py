@@ -15,6 +15,17 @@ import optax
 
 from muscle_tpu.core import attach_bg_channel
 from muscle_tpu.losses import FieldLossConfig, field_loss
+from muscle_tpu.training.mcl import norm_on_device
+
+
+def _dequant_batch(batch: dict) -> dict:
+    """Device-side decode of the uint8 (device_norm) seg pipeline: images
+    ImageNet-normalise, x255-quantised soft masks map back to [0, 1].
+    Float batches pass through (host-prepared, reference-exact)."""
+    out = dict(batch, img=norm_on_device(batch["img"]))
+    if batch["mask"].dtype == jnp.uint8:
+        out["mask"] = batch["mask"].astype(jnp.float32) / 255.0
+    return out
 
 
 @dataclasses.dataclass(frozen=True)
@@ -39,6 +50,7 @@ def seg_term_grad_norms(model, state, batch, rng,
     see training/mcl.py mcl_term_grad_norms for the rationale."""
     import optax
 
+    batch = _dequant_batch(batch)
     label_bg = attach_bg_channel(batch["label"])
     hard_mask = jnp.argmax(batch["mask"], axis=-1)
 
@@ -69,7 +81,9 @@ def seg_term_grad_norms(model, state, batch, rng,
 
 @functools.partial(jax.jit, static_argnames=("model", "tx", "cfg"), donate_argnums=(2,))
 def seg_train_step(model, tx, state, batch, rng, cfg: SegConfig):
-    """batch: img (N,H,W,3), mask (N,H,W,C) soft, label (N,20)."""
+    """batch: img (N,H,W,3), mask (N,H,W,C) soft, label (N,20).  uint8
+    img/mask (VOC12SegDataset device_norm=True) decode on device."""
+    batch = _dequant_batch(batch)
     label_bg = attach_bg_channel(batch["label"])
     hard_mask = jnp.argmax(batch["mask"], axis=-1)
 

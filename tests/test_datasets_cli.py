@@ -310,3 +310,91 @@ def test_mcl_train_step_accepts_uint8(mini_voc):
         losses.append(float(metrics["loss"]))
     assert np.isfinite(losses).all()
     np.testing.assert_allclose(losses[0], losses[1], rtol=2e-5)
+
+
+def test_seg_dataset_device_norm_parity(mini_voc, tmp_path):
+    """uint8 seg pipeline == f32 pipeline after on-device decode: images
+    match except pad fill; masks match to the 1/255 quantisation step."""
+    from muscle_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+
+    root, names = mini_voc
+    labels = np.load(root / "cls_labels.npy", allow_pickle=True).item()
+    mask_dir = tmp_path / "masks_dn"
+    os.makedirs(mask_dir)
+    rng = np.random.default_rng(0)
+    for n in names:
+        img = Image.open(root / "JPEGImages" / f"{n}.jpg")
+        w, h = img.size
+        np.save(mask_dir / f"{n}.npy", rng.uniform(0, 1, (h, w, 21)).astype(np.float16))
+    kw = dict(crop_size=48)
+    ds_f = VOC12SegDataset(names, str(root), labels, str(mask_dir), **kw)
+    ds_u = VOC12SegDataset(names, str(root), labels, str(mask_dir), device_norm=True, **kw)
+    for idx in range(2):
+        a = ds_f.get(idx, np.random.default_rng(3 + idx))
+        b = ds_u.get(idx, np.random.default_rng(3 + idx))
+        assert b["img"].dtype == np.uint8 and b["mask"].dtype == np.uint8
+        dev = ((b["img"].astype(np.float64) / 255.0) - IMAGENET_MEAN) / IMAGENET_STD
+        assert float(np.abs(dev - a["img"]).max()) <= 0.5 / 255.0 / IMAGENET_STD.min() + 1e-6
+        assert float(np.abs(b["mask"] / 255.0 - a["mask"]).max()) <= 0.5 / 255.0 + 1e-6
+
+
+def test_seg_train_step_accepts_uint8(mini_voc):
+    import jax
+    import jax.numpy as jnp
+
+    from muscle_tpu.data.transforms import color_norm
+    from muscle_tpu.models import MuSCLe
+    from muscle_tpu.training import SegConfig, create_train_state, seg_train_step
+    from muscle_tpu.training.state import make_adam
+
+    model = MuSCLe(
+        backbone_name="efficientnet-b1", mode="dec", bifpn_layers=1, last_pooling=True
+    )
+    variables = model.init(
+        {"params": jax.random.key(0)}, jnp.zeros((1, 32, 32, 3)), mode="seg"
+    )
+    tx = make_adam(1e-5, 1e-5)
+    rng_np = np.random.default_rng(0)
+    img_u8 = rng_np.integers(0, 256, (2, 64, 64, 3)).astype(np.uint8)
+    mask_u8 = rng_np.integers(0, 256, (2, 64, 64, 21)).astype(np.uint8)
+    label = np.zeros((2, 20), np.float32)
+    label[0, 3] = label[1, 5] = 1.0
+    rng = jax.random.key(1)
+    cfg = SegConfig(k=16, step=3)
+    losses = []
+    for batch in (
+        {"img": img_u8, "mask": mask_u8, "label": label},
+        {
+            "img": np.stack([color_norm(im) for im in img_u8]),
+            "mask": mask_u8.astype(np.float32) / 255.0,
+            "label": label,
+        },
+    ):
+        state = create_train_state(jax.tree.map(jnp.array, variables), tx)
+        state, metrics = seg_train_step(model, tx, state, batch, rng, cfg)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    np.testing.assert_allclose(losses[0], losses[1], rtol=2e-5)
+
+
+def test_affinity_dataset_device_norm_parity(mini_voc):
+    from muscle_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+
+    root, names = mini_voc
+    labels = np.load(root / "cls_labels.npy", allow_pickle=True).item()
+    kw = dict(crop_size=64)
+    ds_f = VOC12AffinityDataset(
+        names, str(root), labels, str(root / "SegmentationClass"), **kw
+    )
+    ds_u = VOC12AffinityDataset(
+        names, str(root), labels, str(root / "SegmentationClass"),
+        device_norm=True, **kw,
+    )
+    a = ds_f.get(0, np.random.default_rng(5))
+    b = ds_u.get(0, np.random.default_rng(5))
+    assert b["img"].dtype == np.uint8
+    dev = ((b["img"].astype(np.float64) / 255.0) - IMAGENET_MEAN) / IMAGENET_STD
+    assert float(np.abs(dev - a["img"]).max()) <= 0.5 / 255.0 / IMAGENET_STD.min() + 1e-6
+    for k in ("bg_pos", "fg_pos", "neg"):
+        assert b[k].dtype == np.uint8
+        np.testing.assert_array_equal(a[k], b[k].astype(np.float32))
