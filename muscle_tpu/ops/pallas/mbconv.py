@@ -19,8 +19,13 @@ load/store skeleton alone (copyonly) runs at 0.15 TB/s (64-byte lane
 rows at c32), and the expand matmul reaches ~9 TFLOP/s bf16 (K=32 and a
 non-sublane-aligned flatten).  A perfect fusion would still win ~10x on
 paper, but it needs a layout Mosaic can move at HBM peak (e.g. a
-flattened (H, W*C) DMA view + in-VMEM relayout), left as a documented
-frontier.  The kernel stays OPT-IN (MuSCLe.fuse_mbconv=0 default,
+flattened (H, W*C) DMA view + in-VMEM relayout).  That frontier was
+probed and CLOSED (tools/mbconv_dma_probe.py): Mosaic rejects the
+(H, W*C)->(H*W, C) shape cast, and the chip's measured streaming
+ceiling is ~0.21 TB/s (tools/mbconv_dma_probe.py docstring) — the
+"~10x on paper" assumed 819 GB/s HBM that this part does not deliver,
+so the XLA lowering is already at the effective roofline.
+The kernel stays OPT-IN (MuSCLe.fuse_mbconv=0 default,
 parity-tested) and the production path keeps the XLA lowering.
 
   grid = (B,); per image (fori_loop over row bands):
