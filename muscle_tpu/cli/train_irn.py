@@ -28,6 +28,16 @@ def main(argv=None) -> None:
     p.add_argument("--device_norm", default=1, type=int,
                    help="1 = uint8 image + 0/1 uint8 affinity masks decoded "
                         "on device (~16x less host->device traffic); 0 = f32")
+    p.add_argument("--upload", default="ycbcr420", choices=["rgb", "ycbcr420"],
+                   help="image upload format under device_norm: 'ycbcr420' "
+                        "halves the image bytes (bounded chroma-smoothing "
+                        "deviation, core/ycbcr.py); 'rgb' is bit-exact. "
+                        "Ignored when --device_norm 0")
+    p.add_argument("--pack_bits", default=1, type=int,
+                   help="ship the 0/1 affinity masks 8 pairs/byte and unpack "
+                        "on device — EXACT re-encoding, 8x fewer mask bytes "
+                        "(the dominant batch share). Ignored when "
+                        "--device_norm 0")
     p.add_argument("--seed", default=0, type=int)
     add_voc_args(p)
     args = p.parse_args(argv)
@@ -49,6 +59,8 @@ def main(argv=None) -> None:
     dataset = VOC12AffinityDataset(
         names, args.voc12_root, labels, args.pseudo_label_root,
         crop_size=args.crop_size, device_norm=bool(args.device_norm),
+        upload=args.upload if args.device_norm else "rgb",
+        pack_bits=bool(args.pack_bits and args.device_norm),
     )
     loader = PrefetchLoader(
         dataset, args.batch_size, seed=args.seed, num_threads=args.num_workers,

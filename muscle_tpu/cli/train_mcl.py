@@ -40,6 +40,13 @@ def main(argv=None) -> None:
                         "device (4x less host->device traffic; pad/erase "
                         "fill deviates <= 0.009, see VOC12ClsPixDataset); "
                         "0 = host-normalised f32 (reference-exact)")
+    p.add_argument("--upload", default="ycbcr420", choices=["rgb", "ycbcr420"],
+                   help="batch upload format under device_norm: 'ycbcr420' "
+                        "ships full-res luma + 2x2-subsampled chroma planes "
+                        "(half the bytes over the host->device link, which "
+                        "bounds the step; bounded chroma-smoothing deviation, "
+                        "core/ycbcr.py); 'rgb' ships uint8 RGB (bit-exact "
+                        "colors). Ignored when --device_norm 0")
     p.add_argument("--bf16", default=0, type=int,
                    help="bf16 model compute (f32 params/optimizer) — the "
                         "TPU mixed-precision fast path; ~2x step time")
@@ -82,6 +89,7 @@ def main(argv=None) -> None:
     dataset = VOC12ClsPixDataset(
         names, args.voc12_root, labels, crop_size=args.crop_size,
         device_norm=bool(args.device_norm),
+        upload=args.upload if args.device_norm else "rgb",
     )
     loader = PrefetchLoader(
         dataset,

@@ -40,6 +40,21 @@ def main(argv=None) -> None:
                         "decoded/normalised on device (16x less host->device "
                         "traffic; bounded deviations documented on "
                         "VOC12SegDataset); 0 = host f32 (reference-exact)")
+    p.add_argument("--pack_mask", default=-1, type=int,
+                   help="ship only the mask channels that can be nonzero "
+                        "(bg + GT classes) plus a channel-index vector, "
+                        "scattered back on device — an EXACT re-encoding "
+                        "(walk pseudo-masks zero non-GT classes) that cuts "
+                        "the mask's ~87%% share of the batch bytes ~21/K-"
+                        "fold. -1 = size K from the label set (default), "
+                        "0 = dense 21-channel, K>0 = manual budget "
+                        "(raises loudly if exceeded)")
+    p.add_argument("--upload", default="ycbcr420", choices=["rgb", "ycbcr420"],
+                   help="image upload format under device_norm: 'ycbcr420' "
+                        "halves the image bytes — the dominant batch share "
+                        "once the mask is packed (bounded chroma-smoothing "
+                        "deviation, core/ycbcr.py); 'rgb' is bit-exact. "
+                        "Ignored when --device_norm 0")
     p.add_argument("--vis_every", default=25, type=int,
                    help="dump seg-mask PNGs under <log_dir>/vis every N iters; "
                         "0 disables")
@@ -67,6 +82,8 @@ def main(argv=None) -> None:
         names, args.voc12_root, labels, args.mask_root,
         min_scale=0.5, max_scale=1.75, crop_size=args.crop_size, mask_type="soft",
         num_classes=args.num_classes, device_norm=bool(args.device_norm),
+        pack_mask=args.pack_mask,
+        upload=args.upload if args.device_norm else "rgb",
     )
     loader = PrefetchLoader(
         dataset, args.batch_size, seed=args.seed, num_threads=args.num_workers,

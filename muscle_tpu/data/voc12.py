@@ -152,6 +152,7 @@ class VOC12ClsPixDataset(VOC12ImageDataset):
         crop_size: int = 448,
         view_size: tuple[int, int] = (224, 224),
         device_norm: bool = False,
+        upload: str = "rgb",
     ):
         super().__init__(name_list, voc12_root, labels)
         self.crop_size = crop_size
@@ -164,6 +165,15 @@ class VOC12ClsPixDataset(VOC12ImageDataset):
         # identical value pre-quantisation).  Same rng draw sequence as
         # the f32 path, so curricula are reproducible across modes.
         self.device_norm = device_norm
+        # upload='ycbcr420' (device_norm only): ship each crop as full-res
+        # luma + 2x2 box-subsampled chroma planes ({key}_y/{key}_c) —
+        # half the bytes over the host->device link, which bounds the
+        # training step (core/ycbcr.py rationale + deviation bound).
+        if upload not in ("rgb", "ycbcr420"):
+            raise ValueError(f"upload must be 'rgb' or 'ycbcr420', got {upload!r}")
+        if upload == "ycbcr420" and not device_norm:
+            raise ValueError("upload='ycbcr420' requires device_norm=True")
+        self.upload = upload
 
     def get(self, idx: int, rng: np.random.Generator) -> dict[str, np.ndarray]:
         img = self.image(idx)
@@ -195,7 +205,7 @@ class VOC12ClsPixDataset(VOC12ImageDataset):
 
             out_dtype = np.float32
 
-        return {
+        out = {
             "img": main.astype(out_dtype),
             "view1": view_tf(view1).astype(out_dtype),
             "view2": view_tf(view2).astype(out_dtype),
@@ -203,6 +213,12 @@ class VOC12ClsPixDataset(VOC12ImageDataset):
             "coord2": np.asarray(coord2, np.int32),
             "label": self.label(idx),
         }
+        if self.upload == "ycbcr420":
+            from muscle_tpu.core.ycbcr import rgb_to_ycbcr420
+
+            for k in ("img", "view1", "view2"):
+                out[k + "_y"], out[k + "_c"] = rgb_to_ycbcr420(out.pop(k))
+        return out
 
 
 class VOC12AffinityDataset(VOC12ImageDataset):
@@ -224,6 +240,8 @@ class VOC12AffinityDataset(VOC12ImageDataset):
         min_scale: float = 0.5,
         max_scale: float = 1.5,
         device_norm: bool = False,
+        upload: str = "rgb",
+        pack_bits: bool = False,
     ):
         super().__init__(name_list, voc12_root, labels)
         self.pseudo_label_root = pseudo_label_root
@@ -237,10 +255,26 @@ class VOC12AffinityDataset(VOC12ImageDataset):
         # masks are exact, the image pad fill deviates <= 0.009 normalised
         # — see VOC12ClsPixDataset)
         self.device_norm = device_norm
+        # upload='ycbcr420': img ships as luma + 2x2-subsampled chroma
+        # planes (half the image bytes; core/ycbcr.py bound).  pack_bits:
+        # the 0/1 (D, P) masks ship 8 pairs/byte (core/bitpack.py — EXACT;
+        # irn_train_step unpacks on device by the P//8 trailing dim).
+        if upload not in ("rgb", "ycbcr420"):
+            raise ValueError(f"upload must be 'rgb' or 'ycbcr420', got {upload!r}")
+        if (upload == "ycbcr420" or pack_bits) and not device_norm:
+            raise ValueError("upload='ycbcr420'/pack_bits require device_norm=True")
+        self.upload = upload
+        self.pack_bits = bool(pack_bits)
         from muscle_tpu.ops.random_walk import PathIndex
 
         g = crop_size // stride
         self._pi = PathIndex(radius, (g, g))
+        if self.pack_bits and self._pi.src_indices.size % 8:
+            raise ValueError(
+                f"pack_bits needs the pair-grid width P="
+                f"{self._pi.src_indices.size} divisible by 8 — use "
+                "pack_bits=False for this crop_size/stride/radius"
+            )
 
     def get(self, idx: int, rng: np.random.Generator) -> dict[str, np.ndarray]:
         name = self.name_list[idx]
@@ -276,12 +310,22 @@ class VOC12AffinityDataset(VOC12ImageDataset):
         small = lab_canvas[self.stride // 2 :: self.stride, self.stride // 2 :: self.stride]
         bg_pos, fg_pos, neg = self._affinity_masks(small)
         if self.device_norm:
-            return {
+            out = {
                 "img": canvas,
                 "bg_pos": bg_pos.astype(np.uint8),
                 "fg_pos": fg_pos.astype(np.uint8),
                 "neg": neg.astype(np.uint8),
             }
+            if self.pack_bits:
+                from muscle_tpu.core.bitpack import packbits_last
+
+                for k in ("bg_pos", "fg_pos", "neg"):
+                    out[k] = packbits_last(out[k])
+            if self.upload == "ycbcr420":
+                from muscle_tpu.core.ycbcr import rgb_to_ycbcr420
+
+                out["img_y"], out["img_c"] = rgb_to_ycbcr420(out.pop("img"))
+            return out
         return {
             "img": canvas,
             "bg_pos": bg_pos,
@@ -320,6 +364,8 @@ class VOC12SegDataset(VOC12ImageDataset):
         mask_type: str = "soft",
         num_classes: int = 21,
         device_norm: bool = False,
+        pack_mask: int = 0,
+        upload: str = "rgb",
     ):
         super().__init__(name_list, voc12_root, labels)
         self.mask_root = mask_root
@@ -336,6 +382,47 @@ class VOC12SegDataset(VOC12ImageDataset):
         # argmax can flip only between classes within 1/255 of each
         # other; BEACON similarities shift O(0.4%)).
         self.device_norm = device_norm
+        # pack_mask: ship only the mask channels that can be nonzero.  The
+        # walk pseudo-masks (cli/infer_irn.py, reference infer_irn.py:68-82)
+        # zero every foreground class outside the image's GT label set, so
+        # a (H, W, K) slice of K = 1 + #labels channels plus a (K,) channel
+        # index vector is an EXACT re-encoding of the (H, W, 21) stack —
+        # seg_train_step scatters it back on device before any loss touches
+        # it.  Cuts the mask's share of the host->device bytes ~21/K-fold
+        # (the mask is ~87% of the batch) and the host-side per-channel
+        # resize the same way.  K > 0: fixed channel budget, raises loudly
+        # if any mask has more nonzero channels (no silent class drops);
+        # -1: size K from the dataset's own labels; 0: dense (H, W, 21).
+        if pack_mask == -1:
+            pack_mask = 1 + max(
+                1, max(int(self.label(i).sum()) for i in range(len(name_list)))
+            )
+        self.pack_mask = int(pack_mask)
+        # upload='ycbcr420' (device_norm only): img ships as full-res luma
+        # + 2x2-subsampled chroma (half the image bytes; core/ycbcr.py
+        # bound) — with pack_mask the image is the dominant batch share.
+        if upload not in ("rgb", "ycbcr420"):
+            raise ValueError(f"upload must be 'rgb' or 'ycbcr420', got {upload!r}")
+        if upload == "ycbcr420" and not device_norm:
+            raise ValueError("upload='ycbcr420' requires device_norm=True")
+        self.upload = upload
+
+    def _pack_mask(self, mask: np.ndarray, name: str):
+        """(H, W, C) -> ((H, W, k<=K) active-channel slice, (K,) int32
+        channel ids, zero-padded).  Channel 0 (bg) is always kept so the
+        zero-pad index 0 scatters zeros onto a channel that exists."""
+        k = self.pack_mask
+        nz = np.flatnonzero((mask != 0).any(axis=(0, 1)))
+        active = nz if (nz.size and nz[0] == 0) else np.concatenate(([0], nz))
+        if active.size > k:
+            raise ValueError(
+                f"pack_mask={k} but {name} has {active.size} nonzero mask "
+                f"channels {active.tolist()} — raise pack_mask or use "
+                "pack_mask=0 (dense)"
+            )
+        idx = np.zeros(k, np.int32)
+        idx[: active.size] = active
+        return mask[..., active], idx
 
     def _load_mask(self, name: str) -> np.ndarray:
         if self.mask_type == "hard":
@@ -352,6 +439,13 @@ class VOC12SegDataset(VOC12ImageDataset):
         name = self.name_list[idx]
         img = self.image(idx)
         mask = self._load_mask(name)  # (H, W, C)
+        mask_idx = None
+        if self.pack_mask:
+            # pack BEFORE the geometric aug: the per-channel resize then
+            # runs on k channels instead of 21 (exact — resizing/cropping
+            # an all-zero channel yields zeros, and the rng draw sequence
+            # below never depends on the channel count)
+            mask, mask_idx = self._pack_mask(mask, name)
 
         img = T.color_jitter(img, rng, 0.1, 0.1, 0.1, 0.05)
         scale = float(rng.uniform(self.min_scale, self.max_scale))
@@ -370,14 +464,26 @@ class VOC12SegDataset(VOC12ImageDataset):
             arr, mask = T.random_crop(arr, self.crop_size, rng, extra=mask)
         if rng.random() < 0.5:
             arr, mask = T.hflip(arr), T.hflip(mask)
+        if mask_idx is not None and mask.shape[-1] < self.pack_mask:
+            mask = np.pad(
+                mask, ((0, 0), (0, 0), (0, self.pack_mask - mask.shape[-1]))
+            )
         if self.device_norm:
-            return {
+            out = {
                 "img": arr.astype(np.uint8),
                 "mask": np.round(np.clip(mask, 0.0, 1.0) * 255.0).astype(np.uint8),
                 "label": self.label(idx),
             }
-        return {
-            "img": arr.astype(np.float32),
-            "mask": mask.astype(np.float32),
-            "label": self.label(idx),
-        }
+            if self.upload == "ycbcr420":
+                from muscle_tpu.core.ycbcr import rgb_to_ycbcr420
+
+                out["img_y"], out["img_c"] = rgb_to_ycbcr420(out.pop("img"))
+        else:
+            out = {
+                "img": arr.astype(np.float32),
+                "mask": mask.astype(np.float32),
+                "label": self.label(idx),
+            }
+        if mask_idx is not None:
+            out["mask_idx"] = mask_idx
+        return out

@@ -862,6 +862,13 @@ def gate5_train_muscle(voc_root, names, labels_path, out_dir, steps: int = 100,
         w, h = img.size
         gt = np.array(Image.open(os.path.join(voc_root, "SegmentationClass", n + ".png")))
         soft = rng.uniform(0, 0.1, (h, w, 21)).astype(np.float32)
+        # production walk pseudo-masks (infer_irn) zero every foreground
+        # class absent from the image — mirror that so the CLI's default
+        # --pack_mask -1 (exact packed upload) applies to the gate run too
+        present = set(np.unique(gt[gt < 21]).tolist()) | {0}
+        for c in range(21):
+            if c not in present:
+                soft[..., c] = 0.0
         for c in range(21):
             soft[..., c][gt == c] = 1.0  # GT-aligned soft pseudo-masks
         np.save(os.path.join(mask_dir, n + ".npy"), soft.astype(np.float16))

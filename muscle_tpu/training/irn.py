@@ -110,16 +110,29 @@ def irn_train_step(model, tx, state, batch, cfg: IRNTrainConfig):
     batch: img (N, S, S, 3) crop-padded images; bg_pos/fg_pos/neg
     (N, D, P) affinity masks over the stride-4 grid path index.  uint8
     batches (VOC12AffinityDataset device_norm=True) decode on device:
-    images ImageNet-normalise, the 0/1 masks cast exactly.
+    images ImageNet-normalise, the 0/1 masks cast exactly.  Bit-packed
+    masks (pack_bits=True: trailing dim P/8) unpack exactly on device
+    (core/bitpack.py) — the dominant batch bytes once the image ships
+    as YCbCr.
     """
     pi = _grid_path_index(cfg)
-    from muscle_tpu.training.mcl import norm_on_device
+    from muscle_tpu.core.bitpack import unpackbits_last
+    from muscle_tpu.training.mcl import decode_image
+
+    img = decode_image(batch, "img")
+    p_pairs = int(pi.src_indices.size)  # cropped pair-grid width P
+
+    def decode_mask(v):
+        if v.dtype == jnp.uint8 and v.shape[-1] * 8 == p_pairs:
+            return unpackbits_last(v, p_pairs)
+        return v.astype(jnp.float32) if v.dtype == jnp.uint8 else v
 
     batch = {
-        k: norm_on_device(v) if k == "img" else
-        (v.astype(jnp.float32) if v.dtype == jnp.uint8 else v)
+        k: decode_mask(v)
         for k, v in batch.items()
+        if k not in ("img", "img_y", "img_c")
     }
+    batch["img"] = img
 
     def loss_fn(params):
         edge_out, dp_out = model.apply(

@@ -57,10 +57,33 @@ def norm_on_device(img):
     return (img.astype(jnp.float32) / 255.0 - mean) / std
 
 
+def decode_image(batch: dict, key: str):
+    """Return the ImageNet-normalised f32 image batch for `key`, whichever
+    upload format the batch carries (static under jit — one compile per
+    format):
+
+    * ``{key}_y`` + ``{key}_c`` — YCbCr 4:2:0 planes (dataset
+      upload='ycbcr420'): decode (core/ycbcr.py) then normalise.  Half the
+      host->device bytes of uint8 RGB; the relay link, not the chip, bounds
+      the training step.
+    * ``{key}`` uint8 — RGB, normalise on device (device_norm=1).
+    * ``{key}`` float — already host-normalised (reference-exact mode).
+    """
+    if key + "_y" in batch:
+        from muscle_tpu.core.ycbcr import ycbcr420_to_rgb
+        from muscle_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+
+        rgb = ycbcr420_to_rgb(batch[key + "_y"], batch[key + "_c"])
+        mean = jnp.asarray(IMAGENET_MEAN[0, 0], jnp.float32)
+        std = jnp.asarray(IMAGENET_STD[0, 0], jnp.float32)
+        return (rgb / 255.0 - mean) / std
+    return norm_on_device(batch[key])
+
+
 @functools.partial(jax.jit, static_argnames=("model", "tx", "cfg"), donate_argnums=(2,))
 def mcl_train_step(model, tx, state, batch, rng, cfg: MCLConfig):
     """Step A.  batch: img (N,H,W,3), label (N,20).  Returns (state, metrics)."""
-    batch = dict(batch, img=norm_on_device(batch["img"]))
+    batch = dict(batch, img=decode_image(batch, "img"))
     label = batch["label"]
     label_bg = attach_bg_channel(label)
     valid_channels = jnp.sum(label)
@@ -135,10 +158,10 @@ def mcl_term_grad_norms(model, state, batch, rng,
     """
     import optax
 
-    batch = {
-        k: norm_on_device(v) if k in ("img", "view1", "view2") else v
-        for k, v in batch.items()
-    }
+    batch = dict(batch)
+    for k in ("img", "view1", "view2"):
+        if k in batch or k + "_y" in batch:
+            batch[k] = decode_image(batch, k)
 
     def terms_a(params):
         (raw_cams, raw_sgcs, emb, logits), _ = model.apply(
@@ -221,8 +244,8 @@ def mcl_views_step(model, tx, state, batch, rng, cfg: MCLConfig):
     train_mcl.py:203, but keeps gradients for view1."""
     batch = dict(
         batch,
-        view1=norm_on_device(batch["view1"]),
-        view2=norm_on_device(batch["view2"]),
+        view1=decode_image(batch, "view1"),
+        view2=decode_image(batch, "view2"),
     )
     label_bg = attach_bg_channel(batch["label"])
 

@@ -15,16 +15,29 @@ import optax
 
 from muscle_tpu.core import attach_bg_channel
 from muscle_tpu.losses import FieldLossConfig, field_loss
-from muscle_tpu.training.mcl import norm_on_device
+from muscle_tpu.training.mcl import decode_image
 
 
 def _dequant_batch(batch: dict) -> dict:
     """Device-side decode of the uint8 (device_norm) seg pipeline: images
     ImageNet-normalise, x255-quantised soft masks map back to [0, 1].
-    Float batches pass through (host-prepared, reference-exact)."""
-    out = dict(batch, img=norm_on_device(batch["img"]))
+    Float batches pass through (host-prepared, reference-exact).
+
+    A packed mask (``mask`` (N, H, W, K) + ``mask_idx`` (N, K), see
+    VOC12SegDataset pack_mask) scatters back to the dense
+    (N, H, W, num_classes) stack — exact: the packed channels are the only
+    possibly-nonzero ones, pad slots carry index 0 with zero values."""
+    out = dict(batch, img=decode_image(batch, "img"))
+    out.pop("img_y", None)
+    out.pop("img_c", None)
     if batch["mask"].dtype == jnp.uint8:
         out["mask"] = batch["mask"].astype(jnp.float32) / 255.0
+    if "mask_idx" in out:
+        num_classes = batch["label"].shape[-1] + 1
+        onehot = jax.nn.one_hot(out.pop("mask_idx"), num_classes, dtype=jnp.float32)
+        out["mask"] = jnp.einsum(
+            "nhwk,nkc->nhwc", out["mask"].astype(jnp.float32), onehot
+        )
     return out
 
 

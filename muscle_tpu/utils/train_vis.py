@@ -84,7 +84,24 @@ class TrainVisualizer:
             return  # dump on the first step too — cheap input-pipeline sanity
         os.makedirs(self.out_dir, exist_ok=True)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
-        raw = np.asarray(batch["img"][:1])
+        if "img_y" in batch:  # ycbcr420 upload: decode one image on host
+            from muscle_tpu.core.ycbcr import ycbcr420_to_rgb
+
+            raw = np.asarray(
+                np.clip(
+                    np.round(
+                        ycbcr420_to_rgb(
+                            np.asarray(batch["img_y"][:1]),
+                            np.asarray(batch["img_c"][:1]),
+                        )
+                    ),
+                    0,
+                    255,
+                ),
+                np.uint8,
+            )
+        else:
+            raw = np.asarray(batch["img"][:1])
         if raw.dtype == np.uint8:  # device-norm pipeline ships uint8
             img8 = raw[0]
             from muscle_tpu.data.transforms import color_norm

@@ -398,3 +398,350 @@ def test_affinity_dataset_device_norm_parity(mini_voc):
     for k in ("bg_pos", "fg_pos", "neg"):
         assert b[k].dtype == np.uint8
         np.testing.assert_array_equal(a[k], b[k].astype(np.float32))
+
+
+def test_ycbcr420_training_roundtrip():
+    """core/ycbcr.py pack -> decode inverts within the chroma bound:
+    grayscale exactly (chroma constant 128), smooth color gradients to a
+    few uint8 steps (box-subsample + bilinear on slowly varying chroma)."""
+    from muscle_tpu.core.ycbcr import rgb_to_ycbcr420, ycbcr420_to_rgb
+
+    # grayscale ramp: Y == value (BT.601 coeffs sum to 1), Cb = Cr = 128
+    g = np.tile(np.arange(64, dtype=np.uint8)[:, None, None], (1, 64, 3))
+    y, c = rgb_to_ycbcr420(g)
+    assert y.shape == (64, 64) and y.dtype == np.uint8
+    assert c.shape == (32, 32, 2) and c.dtype == np.uint8
+    rec = np.asarray(ycbcr420_to_rgb(y[None], c[None]))[0]
+    assert float(np.abs(rec - g.astype(np.float32)).max()) <= 1.0 + 1e-5
+
+    # smooth color gradient: interior reproduces the ramp; border rows of
+    # the chroma upsample clamp (half-pixel edge), still a few steps
+    xx, yy = np.meshgrid(np.arange(64), np.arange(64))
+    sm = np.stack([2 * xx, 2 * yy, xx + yy], -1).astype(np.uint8)
+    y, c = rgb_to_ycbcr420(sm)
+    rec = np.asarray(ycbcr420_to_rgb(y[None], c[None]))[0]
+    assert float(np.abs(rec - sm.astype(np.float32)).max()) <= 6.0
+    assert float(np.abs(rec - sm.astype(np.float32)).mean()) <= 1.5
+
+    # odd sides must be rejected (training crops are always even)
+    with pytest.raises(ValueError):
+        rgb_to_ycbcr420(np.zeros((63, 64, 3), np.uint8))
+
+
+def test_cls_pix_dataset_ycbcr_upload(mini_voc):
+    """upload='ycbcr420': same geometry/labels as the uint8 RGB pipeline
+    (same rng draws), planes carry PIL's exact Y + box-subsampled chroma."""
+    from PIL import Image as PILImage
+
+    root, names = mini_voc
+    labels = np.load(root / "cls_labels.npy", allow_pickle=True).item()
+    kw = dict(crop_size=64, view_size=(32, 32), device_norm=True)
+    ds_u = VOC12ClsPixDataset(names, str(root), labels, **kw)
+    ds_y = VOC12ClsPixDataset(names, str(root), labels, upload="ycbcr420", **kw)
+    for idx in range(2):
+        a = ds_u.get(idx, np.random.default_rng(3 + idx))
+        b = ds_y.get(idx, np.random.default_rng(3 + idx))
+        assert set(b) == {
+            "img_y", "img_c", "view1_y", "view1_c", "view2_y", "view2_c",
+            "coord1", "coord2", "label",
+        }
+        assert b["img_y"].shape == (64, 64) and b["img_y"].dtype == np.uint8
+        assert b["img_c"].shape == (32, 32, 2)
+        assert b["view1_y"].shape == (32, 32) and b["view1_c"].shape == (16, 16, 2)
+        np.testing.assert_array_equal(a["coord1"], b["coord1"])
+        np.testing.assert_array_equal(a["coord2"], b["coord2"])
+        np.testing.assert_array_equal(a["label"], b["label"])
+        # luma plane is exactly PIL's Y of the identical RGB crop
+        ref_y = np.asarray(
+            PILImage.fromarray(a["img"], "RGB").convert("YCbCr").split()[0]
+        )
+        np.testing.assert_array_equal(b["img_y"], ref_y)
+
+    # ycbcr420 without device_norm has no on-device decode consumer
+    with pytest.raises(ValueError):
+        VOC12ClsPixDataset(
+            names, str(root), labels, crop_size=64, upload="ycbcr420"
+        )
+
+
+def test_mcl_train_step_accepts_ycbcr():
+    """decode_image: a ycbcr420 batch with NEUTRAL chroma planes (Cb = Cr
+    = 128 exactly -> the bilinear upsample is the constant 128 and the
+    BT.601 decode is the identity on luma) must produce the same loss as
+    the equivalent grayscale uint8 RGB batch.  Constructing the planes
+    directly keeps the comparison bit-exact — PIL's integer RGB->YCbCr
+    pack rounds per pixel (covered by the roundtrip/dataset tests above),
+    which would add a ~1-step noise floor here."""
+    import jax
+    import jax.numpy as jnp
+
+    from muscle_tpu.models import MuSCLe
+    from muscle_tpu.training import MCLConfig, create_train_state, mcl_train_step
+    from muscle_tpu.training.state import make_adam
+
+    model = MuSCLe(backbone_name="efficientnet-b1", mode="enc", last_pooling=False)
+    variables = model.init(
+        {"params": jax.random.key(0)}, jnp.zeros((1, 32, 32, 3)), mode="cam"
+    )
+    tx = make_adam(1e-4, 5e-5)
+    rng_np = np.random.default_rng(0)
+    gray = rng_np.integers(0, 256, (2, 64, 64, 1)).astype(np.uint8)
+    img_u8 = np.repeat(gray, 3, axis=-1)
+    ys = list(gray[..., 0])
+    cs = [np.full((32, 32, 2), 128, np.uint8)] * 2
+    label = np.zeros((2, 20), np.float32)
+    label[0, 3] = label[1, 5] = 1.0
+    rng = jax.random.key(1)
+    cfg = MCLConfig()
+    losses = []
+    for batch in (
+        {"img": img_u8, "label": label},
+        {"img_y": np.stack(ys), "img_c": np.stack(cs), "label": label},
+    ):
+        state = create_train_state(jax.tree.map(jnp.array, variables), tx)
+        state, metrics = mcl_train_step(model, tx, state, batch, rng, cfg)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    np.testing.assert_allclose(losses[0], losses[1], rtol=2e-5)
+
+
+def test_seg_dataset_pack_mask_parity(mini_voc, tmp_path):
+    """pack_mask: the packed (mask, mask_idx) pair scattered back to dense
+    must equal the dense pipeline EXACTLY (identical rng draw sequence and
+    per-channel resize on a channel subset)."""
+    root, names = mini_voc
+    labels = np.load(root / "cls_labels.npy", allow_pickle=True).item()
+    mask_dir = tmp_path / "masks_pk"
+    os.makedirs(mask_dir)
+    rng = np.random.default_rng(0)
+    for i, n in enumerate(names):
+        img = Image.open(root / "JPEGImages" / f"{n}.jpg")
+        w, h = img.size
+        # walk-style pseudo-mask: only bg + this image's GT class nonzero
+        m = np.zeros((h, w, 21), np.float16)
+        m[..., 0] = rng.uniform(0, 0.5, (h, w))
+        m[..., i + 1] = rng.uniform(0, 1, (h, w))
+        np.save(mask_dir / f"{n}.npy", m)
+    kw = dict(crop_size=48, device_norm=True)
+    ds_d = VOC12SegDataset(names, str(root), labels, str(mask_dir), **kw)
+    ds_p = VOC12SegDataset(
+        names, str(root), labels, str(mask_dir), pack_mask=-1, **kw
+    )
+    assert ds_p.pack_mask == 2  # 1 label per mini_voc image + bg
+    for idx in range(3):
+        a = ds_d.get(idx, np.random.default_rng(9 + idx))
+        b = ds_p.get(idx, np.random.default_rng(9 + idx))
+        np.testing.assert_array_equal(a["img"], b["img"])
+        assert b["mask"].shape == (48, 48, 2)
+        np.testing.assert_array_equal(b["mask_idx"], [0, idx + 1])
+        dense = np.zeros_like(a["mask"])
+        for k, c in enumerate(b["mask_idx"]):
+            dense[..., c] += b["mask"][..., k]
+        np.testing.assert_array_equal(dense, a["mask"])
+
+    # channel budget overflow must raise, not silently drop classes
+    ds_1 = VOC12SegDataset(
+        names, str(root), labels, str(mask_dir), pack_mask=1, **kw
+    )
+    with pytest.raises(ValueError, match="pack_mask=1"):
+        ds_1.get(0, np.random.default_rng(0))
+
+
+def test_seg_train_step_accepts_packed_mask():
+    """The on-device scatter makes a packed batch's loss EQUAL the dense
+    batch's (same uint8 quantisation, pad slots scatter zeros)."""
+    import jax
+    import jax.numpy as jnp
+
+    from muscle_tpu.models import MuSCLe
+    from muscle_tpu.training import SegConfig, create_train_state, seg_train_step
+    from muscle_tpu.training.state import make_adam
+
+    model = MuSCLe(
+        backbone_name="efficientnet-b1", mode="dec", bifpn_layers=1, last_pooling=True
+    )
+    variables = model.init(
+        {"params": jax.random.key(0)}, jnp.zeros((1, 32, 32, 3)), mode="seg"
+    )
+    tx = make_adam(1e-5, 1e-5)
+    rng_np = np.random.default_rng(0)
+    img_u8 = rng_np.integers(0, 256, (2, 64, 64, 3)).astype(np.uint8)
+    label = np.zeros((2, 20), np.float32)
+    label[0, 3] = label[1, 5] = 1.0
+    # dense mask nonzero only on bg + the GT class (+ one pad slot unused
+    # in image 0: packed K=3 exercises zero-pad scatter)
+    dense = np.zeros((2, 64, 64, 21), np.uint8)
+    packed = np.zeros((2, 64, 64, 3), np.uint8)
+    mask_idx = np.array([[0, 4, 0], [0, 6, 9]], np.int32)
+    for n in range(2):
+        for k, c in enumerate(mask_idx[n]):
+            if k > 0 and c == 0:
+                continue
+            v = rng_np.integers(0, 256, (64, 64)).astype(np.uint8)
+            dense[n, ..., c] = v
+            packed[n, ..., k] = v
+    rng = jax.random.key(1)
+    cfg = SegConfig(k=16, step=3)
+    losses = []
+    for batch in (
+        {"img": img_u8, "mask": dense, "label": label},
+        {"img": img_u8, "mask": packed, "mask_idx": mask_idx, "label": label},
+    ):
+        state = create_train_state(jax.tree.map(jnp.array, variables), tx)
+        state, metrics = seg_train_step(model, tx, state, batch, rng, cfg)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-6)
+
+
+def test_bitpack_roundtrip():
+    """core/bitpack.py: pack -> device unpack is the exact identity on 0/1
+    masks (any leading shape, last dim % 8 == 0)."""
+    from muscle_tpu.core.bitpack import packbits_last, unpackbits_last
+
+    rng = np.random.default_rng(0)
+    m = (rng.random((3, 7, 256)) < 0.3).astype(np.float32)
+    p = packbits_last(m)
+    assert p.shape == (3, 7, 32) and p.dtype == np.uint8
+    rec = np.asarray(unpackbits_last(p, 256))
+    np.testing.assert_array_equal(rec, m)
+
+    with pytest.raises(ValueError):
+        packbits_last(np.zeros((4, 12)))
+    with pytest.raises(ValueError):
+        unpackbits_last(p, 128)
+
+
+def test_affinity_dataset_packed_upload(mini_voc):
+    """pack_bits + upload='ycbcr420': bit-packed masks unpack to exactly
+    the dense device_norm masks (same rng draws); the luma plane is PIL's
+    exact Y of the identical uint8 canvas."""
+    from PIL import Image as PILImage
+
+    from muscle_tpu.core.bitpack import unpackbits_last
+
+    root, names = mini_voc
+    labels = np.load(root / "cls_labels.npy", allow_pickle=True).item()
+    kw = dict(crop_size=64, device_norm=True)
+    ds_d = VOC12AffinityDataset(
+        names, str(root), labels, str(root / "SegmentationClass"), **kw
+    )
+    ds_p = VOC12AffinityDataset(
+        names, str(root), labels, str(root / "SegmentationClass"),
+        upload="ycbcr420", pack_bits=True, **kw,
+    )
+    # cropped pair-grid width: (g - rf) * (g - 2*rf), g=16, rf=4 -> 96
+    p_pairs = int(ds_d._pi.src_indices.size)
+    assert p_pairs == 96
+    for idx in range(2):
+        a = ds_d.get(idx, np.random.default_rng(7 + idx))
+        b = ds_p.get(idx, np.random.default_rng(7 + idx))
+        assert set(b) == {"img_y", "img_c", "bg_pos", "fg_pos", "neg"}
+        assert b["img_y"].shape == (64, 64) and b["img_c"].shape == (32, 32, 2)
+        for k in ("bg_pos", "fg_pos", "neg"):
+            assert b[k].dtype == np.uint8
+            assert b[k].shape == (*a[k].shape[:-1], p_pairs // 8)
+            rec = np.asarray(unpackbits_last(b[k], p_pairs))
+            np.testing.assert_array_equal(rec, a[k].astype(np.float32))
+        ref_y = np.asarray(
+            PILImage.fromarray(a["img"], "RGB").convert("YCbCr").split()[0]
+        )
+        np.testing.assert_array_equal(b["img_y"], ref_y)
+
+    # fast upload formats have no consumer without device_norm
+    with pytest.raises(ValueError):
+        VOC12AffinityDataset(
+            names, str(root), labels, str(root / "SegmentationClass"),
+            crop_size=64, pack_bits=True,
+        )
+
+
+def test_irn_train_step_accepts_packed(mini_voc):
+    """irn_train_step: a bit-packed + neutral-chroma ycbcr batch must
+    produce the same losses as the dense uint8 batch (both encodings are
+    exact; see test_mcl_train_step_accepts_ycbcr for the chroma setup)."""
+    import jax
+    import jax.numpy as jnp
+
+    from muscle_tpu.core.bitpack import packbits_last
+    from muscle_tpu.models import IRNNet
+    from muscle_tpu.training import create_train_state
+    from muscle_tpu.training.irn import (
+        IRNTrainConfig,
+        _grid_path_index,
+        irn_train_step,
+    )
+    from muscle_tpu.training.state import make_adam
+
+    cfg = IRNTrainConfig(crop_size=64)
+    pi = _grid_path_index(cfg)
+    d, p = pi.dst_indices.shape
+
+    model = IRNNet()
+    variables = model.init(
+        {"params": jax.random.key(0)}, jnp.zeros((1, 64, 64, 3))
+    )
+    tx = make_adam(1e-3, 1e-4)
+    rng_np = np.random.default_rng(1)
+    gray = rng_np.integers(0, 256, (2, 64, 64, 1)).astype(np.uint8)
+    img_u8 = np.repeat(gray, 3, axis=-1)
+    bg = (rng_np.random((2, d, p)) < 0.2).astype(np.uint8)
+    fg = ((rng_np.random((2, d, p)) < 0.2) & ~bg.astype(bool)).astype(np.uint8)
+    ng = ((rng_np.random((2, d, p)) < 0.2) & ~(bg | fg).astype(bool)).astype(np.uint8)
+    dense = {"img": img_u8, "bg_pos": bg, "fg_pos": fg, "neg": ng}
+    packed = {
+        "img_y": gray[..., 0],
+        "img_c": np.full((2, 32, 32, 2), 128, np.uint8),
+        "bg_pos": packbits_last(bg),
+        "fg_pos": packbits_last(fg),
+        "neg": packbits_last(ng),
+    }
+    all_metrics = []
+    for batch in (dense, packed):
+        state = create_train_state(jax.tree.map(jnp.array, variables), tx)
+        state, metrics = irn_train_step(model, tx, state, batch, cfg)
+        all_metrics.append({k: float(v) for k, v in metrics.items()})
+    for k in all_metrics[0]:
+        assert np.isfinite(all_metrics[0][k])
+        np.testing.assert_allclose(
+            all_metrics[0][k], all_metrics[1][k], rtol=2e-5, err_msg=k
+        )
+
+
+def test_seg_dataset_ycbcr_upload(mini_voc, tmp_path):
+    """VOC12SegDataset upload='ycbcr420': same mask/label stream as the
+    uint8 RGB pipeline (same rng draws), img replaced by exact-PIL luma +
+    box-subsampled chroma planes."""
+    from PIL import Image as PILImage
+
+    root, names = mini_voc
+    labels = np.load(root / "cls_labels.npy", allow_pickle=True).item()
+    mask_dir = tmp_path / "masks_ycc"
+    os.makedirs(mask_dir)
+    rng = np.random.default_rng(0)
+    for n in names:
+        img = Image.open(root / "JPEGImages" / f"{n}.jpg")
+        w, h = img.size
+        np.save(mask_dir / f"{n}.npy", rng.uniform(0, 1, (h, w, 21)).astype(np.float16))
+    kw = dict(crop_size=48, device_norm=True)
+    ds_u = VOC12SegDataset(names, str(root), labels, str(mask_dir), **kw)
+    ds_y = VOC12SegDataset(
+        names, str(root), labels, str(mask_dir), upload="ycbcr420", **kw
+    )
+    for idx in range(2):
+        a = ds_u.get(idx, np.random.default_rng(11 + idx))
+        b = ds_y.get(idx, np.random.default_rng(11 + idx))
+        assert set(b) == {"img_y", "img_c", "mask", "label"}
+        assert b["img_y"].shape == (48, 48) and b["img_c"].shape == (24, 24, 2)
+        np.testing.assert_array_equal(a["mask"], b["mask"])
+        np.testing.assert_array_equal(a["label"], b["label"])
+        ref_y = np.asarray(
+            PILImage.fromarray(a["img"], "RGB").convert("YCbCr").split()[0]
+        )
+        np.testing.assert_array_equal(b["img_y"], ref_y)
+
+    with pytest.raises(ValueError):
+        VOC12SegDataset(
+            names, str(root), labels, str(mask_dir), crop_size=48,
+            upload="ycbcr420",
+        )
