@@ -113,7 +113,8 @@ def main(argv=None) -> None:
     mesh = make_data_mesh_for_batch(args.batch_size)
     state = replicate(mesh, state)
     sched = ReduceLROnPlateau(args.lr, factor=0.5, patience=0, min_lr=5e-6)
-    cfg = SegConfig(lamb=args.lamb, step=args.step, k=args.k)
+    cfg = SegConfig(lamb=args.lamb, step=args.step, k=args.k,
+                    num_classes=args.num_classes)
     os.makedirs(args.session_name, exist_ok=True)
     mlog = MetricLogger(os.path.join(args.log_dir, "metrics.jsonl"))
     # tensorboard event stream (dependency-free, utils/tb_events.py)

@@ -8,8 +8,12 @@ VOC JPEGs are stored 4:2:0 on disk, so for real images the upload carries
 the same chroma information PIL's RGB decode interpolated from; the only
 loss is the BT.601 roundtrip (<= 1/255 per channel) plus the bilinear
 (vs JPEG's fancier) chroma upsample.  Deviation from the reference's f32
-RGB inputs (train_mcl.py:162) is opt-in per CLI flag and bounded by
-tests/test_data.py.
+RGB inputs (train_mcl.py:162): this is the DEFAULT on the train CLIs
+(--upload ycbcr420; pass --upload rgb --device_norm 0 for the
+reference-exact path).  Bounded two ways: per-pixel roundtrip error in
+tests/test_datasets_cli.py::test_ycbcr420_training_roundtrip, and a
+fixed-seed training A/B vs uint8 RGB (tools/ycbcr_ab.py, verdict in
+BASELINE.md).
 
 Same convention as the TTA canvases (data/tta.py pack_canvas_ycbcr /
 inference/upload.py ycbcr420_unpack_fn) without the canvas machinery:

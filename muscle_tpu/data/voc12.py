@@ -173,6 +173,15 @@ class VOC12ClsPixDataset(VOC12ImageDataset):
             raise ValueError(f"upload must be 'rgb' or 'ycbcr420', got {upload!r}")
         if upload == "ycbcr420" and not device_norm:
             raise ValueError("upload='ycbcr420' requires device_norm=True")
+        if upload == "ycbcr420" and (
+            crop_size % 2 or view_size[0] % 2 or view_size[1] % 2
+        ):
+            # fail at construction, not at the first batch inside a
+            # PrefetchLoader worker (rgb_to_ycbcr420 needs even sides)
+            raise ValueError(
+                f"upload='ycbcr420' needs even crop_size/view_size, got "
+                f"{crop_size}/{view_size}"
+            )
         self.upload = upload
 
     def get(self, idx: int, rng: np.random.Generator) -> dict[str, np.ndarray]:
@@ -263,6 +272,10 @@ class VOC12AffinityDataset(VOC12ImageDataset):
             raise ValueError(f"upload must be 'rgb' or 'ycbcr420', got {upload!r}")
         if (upload == "ycbcr420" or pack_bits) and not device_norm:
             raise ValueError("upload='ycbcr420'/pack_bits require device_norm=True")
+        if upload == "ycbcr420" and crop_size % 2:
+            raise ValueError(
+                f"upload='ycbcr420' needs an even crop_size, got {crop_size}"
+            )
         self.upload = upload
         self.pack_bits = bool(pack_bits)
         from muscle_tpu.ops.random_walk import PathIndex
@@ -405,6 +418,10 @@ class VOC12SegDataset(VOC12ImageDataset):
             raise ValueError(f"upload must be 'rgb' or 'ycbcr420', got {upload!r}")
         if upload == "ycbcr420" and not device_norm:
             raise ValueError("upload='ycbcr420' requires device_norm=True")
+        if upload == "ycbcr420" and crop_size % 2:
+            raise ValueError(
+                f"upload='ycbcr420' needs an even crop_size, got {crop_size}"
+            )
         self.upload = upload
 
     def _pack_mask(self, mask: np.ndarray, name: str):

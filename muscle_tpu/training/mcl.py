@@ -231,9 +231,19 @@ def mcl_term_grad_norms(model, state, batch, rng,
             d = maker(params)
             return jnp.stack([d[k] for k in keys])
 
-        jac = jax.jacrev(stacked)(state.params)
+        # One jitted program per maker: jacrev (one backward per term) and
+        # the per-term global norms all on device — eager dispatch of the
+        # k backward passes dominated the multichip dryrun's wall time on
+        # 1-vCPU hosts, and jitting makes the program persistent-cacheable.
+        def norms_fn(params, stacked=stacked, n=len(keys)):
+            jac = jax.jacrev(stacked)(params)
+            return jnp.stack([
+                optax.global_norm(jax.tree.map(lambda x, i=i: x[i], jac))
+                for i in range(n)
+            ])
+        vals = jax.jit(norms_fn)(state.params)
         for i, k in enumerate(keys):
-            norms[k] = float(optax.global_norm(jax.tree.map(lambda x: x[i], jac)))
+            norms[k] = float(vals[i])
     return norms
 
 

@@ -18,7 +18,7 @@ from muscle_tpu.losses import FieldLossConfig, field_loss
 from muscle_tpu.training.mcl import decode_image
 
 
-def _dequant_batch(batch: dict) -> dict:
+def _dequant_batch(batch: dict, num_classes: int | None = None) -> dict:
     """Device-side decode of the uint8 (device_norm) seg pipeline: images
     ImageNet-normalise, x255-quantised soft masks map back to [0, 1].
     Float batches pass through (host-prepared, reference-exact).
@@ -26,14 +26,18 @@ def _dequant_batch(batch: dict) -> dict:
     A packed mask (``mask`` (N, H, W, K) + ``mask_idx`` (N, K), see
     VOC12SegDataset pack_mask) scatters back to the dense
     (N, H, W, num_classes) stack — exact: the packed channels are the only
-    possibly-nonzero ones, pad slots carry index 0 with zero values."""
+    possibly-nonzero ones, pad slots carry index 0 with zero values.
+    num_classes must match the model head (SegConfig.num_classes threads
+    the CLI's --num_classes here); the label-derived fallback only covers
+    the VOC 20-fg+bg default."""
     out = dict(batch, img=decode_image(batch, "img"))
     out.pop("img_y", None)
     out.pop("img_c", None)
     if batch["mask"].dtype == jnp.uint8:
         out["mask"] = batch["mask"].astype(jnp.float32) / 255.0
     if "mask_idx" in out:
-        num_classes = batch["label"].shape[-1] + 1
+        if num_classes is None:
+            num_classes = batch["label"].shape[-1] + 1
         onehot = jax.nn.one_hot(out.pop("mask_idx"), num_classes, dtype=jnp.float32)
         out["mask"] = jnp.einsum(
             "nhwk,nkc->nhwc", out["mask"].astype(jnp.float32), onehot
@@ -48,6 +52,7 @@ class SegConfig:
     k: int = 128
     beta: float = 1e2
     clip_norm: float = 9.0
+    num_classes: int = 21  # incl. bg; must match the model head + pack_mask
 
 
 def cross_entropy(seg_logits: jax.Array, hard_mask: jax.Array) -> jax.Array:
@@ -63,7 +68,7 @@ def seg_term_grad_norms(model, state, batch, rng,
     see training/mcl.py mcl_term_grad_norms for the rationale."""
     import optax
 
-    batch = _dequant_batch(batch)
+    batch = _dequant_batch(batch, cfg.num_classes)
     label_bg = attach_bg_channel(batch["label"])
     hard_mask = jnp.argmax(batch["mask"], axis=-1)
 
@@ -85,18 +90,24 @@ def seg_term_grad_norms(model, state, batch, rng,
         d = terms(params)
         return jnp.stack([d[k] for k in keys])
 
-    jac = jax.jacrev(stacked)(state.params)
-    return {
-        k: float(optax.global_norm(jax.tree.map(lambda x: x[i], jac)))
-        for i, k in enumerate(keys)
-    }
+    # Jitted for the same 1-vCPU-host reason as mcl_term_grad_norms: the
+    # eager jacrev dispatch dominated dryrun wall time.
+    def norms_fn(params):
+        jac = jax.jacrev(stacked)(params)
+        return jnp.stack([
+            optax.global_norm(jax.tree.map(lambda x, i=i: x[i], jac))
+            for i in range(len(keys))
+        ])
+
+    vals = jax.jit(norms_fn)(state.params)
+    return {k: float(vals[i]) for i, k in enumerate(keys)}
 
 
 @functools.partial(jax.jit, static_argnames=("model", "tx", "cfg"), donate_argnums=(2,))
 def seg_train_step(model, tx, state, batch, rng, cfg: SegConfig):
     """batch: img (N,H,W,3), mask (N,H,W,C) soft, label (N,20).  uint8
     img/mask (VOC12SegDataset device_norm=True) decode on device."""
-    batch = _dequant_batch(batch)
+    batch = _dequant_batch(batch, cfg.num_classes)
     label_bg = attach_bg_channel(batch["label"])
     hard_mask = jnp.argmax(batch["mask"], axis=-1)
 

@@ -85,3 +85,60 @@ def test_dynamic_matching_emd_skips_tiny_overlaps():
     tiny = jnp.asarray([[0, 0, 5, 5]], jnp.int32)  # below the 15px gate
     val = float(dynamic_matching_emd(vw, vw, tiny, tiny, jax.random.key(0)))
     assert val == 0.0
+
+
+def test_beacon_sample_topk_uniformity():
+    """Bounds the approx_max_k sampling bias (round-3 verdict item 9):
+    _sample_topk over iid-uniform scores must behave as uniform sampling
+    without replacement over the valid set — the role the reference fills
+    with random.sample (edge.py:297-316).  Checks (a) recall: nearly k of
+    the picks land on valid pixels, like exact top_k; (b) uniformity: the
+    per-pixel selection rate has no systematic positional bias beyond what
+    exact top_k itself shows (approx_max_k partitions the input, so a
+    sparse valid set COULD over-sample sparse partitions — this bounds it).
+    """
+    from muscle_tpu.losses.beacon import _sample_topk
+
+    hw, k, trials = 1024, 64, 150
+    rng = np.random.default_rng(0)
+    # irregular valid set (~60%), clustered so partition bias would show
+    valid_np = rng.random(hw) < np.where((np.arange(hw) // 128) % 2, 0.85, 0.35)
+    valid = jnp.asarray(valid_np)
+    v = int(valid_np.sum())
+
+    approx = jax.jit(lambda s: _sample_topk(s, k))
+    exact = jax.jit(lambda s: jax.lax.top_k(s, k)[1].astype(jnp.int32))
+
+    def run(sampler):
+        counts = np.zeros(hw, np.int64)
+        n_valid_picks = []
+        for t in range(trials):
+            scores = jnp.where(
+                valid, jax.random.uniform(jax.random.key(t), (hw,)), -1.0
+            )
+            idx = np.asarray(sampler(scores))
+            sel = idx[valid_np[idx]]
+            counts += np.bincount(sel, minlength=hw)
+            n_valid_picks.append(len(np.unique(sel)))
+        return counts, float(np.mean(n_valid_picks))
+
+    counts_a, picks_a = run(approx)
+    counts_e, picks_e = run(exact)
+
+    # (a) recall: the recall_target=0.9 call must deliver >= ~90% valid picks
+    assert picks_e == min(k, v)
+    assert picks_a >= 0.88 * min(k, v)
+
+    # (b) uniformity: mean absolute deviation of per-pixel rates from the
+    # uniform rate, in units of that rate.  Exact top_k IS uniform (its
+    # deviation is pure multinomial noise); approx may deviate more but
+    # must stay the same order — a systematic partition bias would push
+    # whole blocks to 0x or 2x.
+    rate_a = counts_a[valid_np] / counts_a[valid_np].mean()
+    rate_e = counts_e[valid_np] / counts_e[valid_np].mean()
+    mad_a = float(np.abs(rate_a - 1.0).mean())
+    mad_e = float(np.abs(rate_e - 1.0).mean())
+    assert mad_a <= 2.0 * mad_e + 0.05, (mad_a, mad_e)
+    # no valid pixel is systematically excluded or doubled
+    assert rate_a.max() <= 2.0 and rate_a.min() >= 0.25, (
+        rate_a.min(), rate_a.max())

@@ -1,0 +1,181 @@
+"""EMD crop-grid deviation A/B — measures DEVIATIONS.md #2.
+
+Ours (losses/emd.py dynamic_matching_emd) samples a fixed 3x3 crop grid
+at 7x7 px; the reference (src/torchutils.py:217-291 get_dynamic_crops +
+src/loss_multilabel.py:287-326 dynamic_matching) uses randomised ragged
+grids (random crop size h/3..h/2, random stride, crops resized 7-28 px).
+Round-3 verdict item 7: "equivalent in expectation" was asserted, never
+measured.  This measures it:
+
+On S identical instances of normalised CAM views (the exact tensors the
+loss consumes, train_mcl.py:214-219), compute the loss and d(loss)/d(view1)
+under (a) ours, (b) the torch reference, each with TWO independent crop
+seeds.  Both samplers are randomised, so per-instance values carry
+intrinsic crop-sampling noise; the reference's own seed-to-seed agreement
+is therefore the attainable ceiling.  Equivalence claim: the ours-vs-
+reference loss correlation and gradient cosine match the reference-vs-
+reference ceiling (the deviation adds no bias beyond the reference's own
+sampling noise).
+
+Usage: OMP_NUM_THREADS=1 JAX_PLATFORMS=cpu python tools/emd_ab.py [--s 40]
+Writes one JSON verdict line; result recorded in DEVIATIONS.md #2.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
+
+
+def make_views(s_instances, hv, c, seed=0):
+    """Smooth, class-structured view pairs + overlap coords — softmaxed and
+    class-L2-normalised exactly like train_mcl.py:214-219 feeds the loss."""
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(s_instances):
+        maps = []
+        for _v in range(2):
+            base = rng.normal(0, 1, (hv // 8, hv // 8, c)).astype(np.float32)
+            # bilinear-upsample the low-res field -> smooth CAM-like maps
+            import jax
+
+            m = np.asarray(
+                jax.image.resize(base, (hv, hv, c), method="bilinear")
+            )
+            maps.append(m)
+        v1 = np.exp(maps[0]) / np.exp(maps[0]).sum(-1, keepdims=True)
+        v2 = np.exp(maps[1]) / np.exp(maps[1]).sum(-1, keepdims=True)
+        v1 = v1 / np.maximum(np.linalg.norm(v1, axis=-1, keepdims=True), 1e-12)
+        v2 = v2 / np.maximum(np.linalg.norm(v2, axis=-1, keepdims=True), 1e-12)
+        bh = int(rng.integers(24, hv - 8))
+        bw = int(rng.integers(24, hv - 8))
+        c1 = [int(rng.integers(0, hv - bh)), int(rng.integers(0, hv - bw)), bh, bw]
+        c2 = [int(rng.integers(0, hv - bh)), int(rng.integers(0, hv - bw)), bh, bw]
+        out.append((v1, v2, np.array(c1, np.int32), np.array(c2, np.int32)))
+    return out
+
+
+def run_ours(views, seed):
+    import jax
+    import jax.numpy as jnp
+
+    from muscle_tpu.losses import dynamic_matching_emd
+
+    @jax.jit
+    def val_and_grad(v1, v2, c1, c2, key):
+        def f(v1_):
+            return dynamic_matching_emd(
+                v1_[None], v2[None], c1[None], c2[None], key
+            )
+
+        return jax.value_and_grad(f)(v1)
+
+    losses, grads = [], []
+    for i, (v1, v2, c1, c2) in enumerate(views):
+        key = jax.random.fold_in(jax.random.key(seed), i)
+        l, g = val_and_grad(jnp.asarray(v1), jnp.asarray(v2),
+                            jnp.asarray(c1), jnp.asarray(c2), key)
+        losses.append(float(l))
+        grads.append(np.asarray(g).ravel())
+    return np.array(losses), grads
+
+
+def run_reference(views, seed):
+    import torch
+
+    from reference_loader import load_reference
+
+    src = load_reference()
+    from src import torchutils as tu
+
+    criterion = src.EMD()
+    losses, grads = [], []
+    for i, (v1, v2, c1, c2) in enumerate(views):
+        np.random.seed(seed * 10007 + i)
+        x1 = torch.from_numpy(v1.transpose(2, 0, 1)[None].copy())
+        x1.requires_grad_(True)
+        x2 = torch.from_numpy(v2.transpose(2, 0, 1)[None].copy())
+        crops1, crops2, _ = tu.get_dynamic_crops(
+            x1, torch.from_numpy(c1[None]), x2.detach(), torch.from_numpy(c2[None])
+        )
+        if not crops1:
+            losses.append(0.0)
+            grads.append(np.zeros(v1.size, np.float32))
+            continue
+        loss = criterion(crops1, crops2, mode="dynamic")
+        loss.backward()
+        losses.append(float(loss.detach()))
+        # NCHW -> NHWC to match ours
+        grads.append(x1.grad[0].numpy().transpose(1, 2, 0).ravel())
+    return np.array(losses), grads
+
+
+def corr(a, b):
+    if np.std(a) < 1e-12 or np.std(b) < 1e-12:
+        return float("nan")
+    return float(np.corrcoef(a, b)[0, 1])
+
+
+def grad_cos(ga, gb):
+    out = []
+    for x, y in zip(ga, gb):
+        nx, ny = np.linalg.norm(x), np.linalg.norm(y)
+        if nx > 1e-12 and ny > 1e-12:
+            out.append(float(x @ y / (nx * ny)))
+    return float(np.mean(out)) if out else float("nan")
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--s", default=40, type=int, help="instances")
+    p.add_argument("--hv", default=64, type=int, help="view side")
+    p.add_argument("--c", default=21, type=int)
+    args = p.parse_args(argv)
+
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except RuntimeError:
+        pass
+    from muscle_tpu.utils.compile_cache import enable
+
+    enable()
+
+    views = make_views(args.s, args.hv, args.c)
+    ours_a, gours_a = run_ours(views, seed=1)
+    ours_b, gours_b = run_ours(views, seed=2)
+    ref_a, gref_a = run_reference(views, seed=1)
+    ref_b, gref_b = run_reference(views, seed=2)
+
+    report = {
+        "instances": args.s,
+        "loss_mean": {"ours": round(float(ours_a.mean()), 5),
+                      "reference": round(float(ref_a.mean()), 5)},
+        # cross-sampler agreement vs each sampler's own seed-to-seed ceiling
+        "loss_corr": {
+            "ours_vs_ref": round(corr(ours_a, ref_a), 3),
+            "ref_vs_ref": round(corr(ref_a, ref_b), 3),
+            "ours_vs_ours": round(corr(ours_a, ours_b), 3),
+        },
+        "grad_cosine": {
+            "ours_vs_ref": round(grad_cos(gours_a, gref_a), 3),
+            "ref_vs_ref": round(grad_cos(gref_a, gref_b), 3),
+            "ours_vs_ours": round(grad_cos(gours_a, gours_b), 3),
+        },
+    }
+    ceiling = report["loss_corr"]["ref_vs_ref"]
+    got = report["loss_corr"]["ours_vs_ref"]
+    report["pass"] = bool(np.isfinite(got) and got >= 0.8 * ceiling)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
