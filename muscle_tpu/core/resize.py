@@ -259,6 +259,82 @@ def composed_cam_resize_weights(
     return w2 @ w1
 
 
+def batched_window_resize_ac(src: jax.Array, src_win: jax.Array,
+                             dst_win: jax.Array, dst_hw: tuple[int, int]) -> jax.Array:
+    """Per-image align_corners=True bilinear resize of the valid window
+    ``src_win`` ((N, 4) int (oy, ox, h, w)) of ``src`` onto the window
+    ``dst_win`` of a static (dst_h, dst_w) canvas — the reference's
+    F.interpolate on UNPADDED feature maps (src/MuSCLe.py:47-54, 248-253)
+    reproduced inside padded canvases.  Zero outside the destination
+    window."""
+    hs, ws = src.shape[1:3]
+    hd, wd = dst_hw
+    hp = jax.lax.Precision.HIGHEST
+
+    def one(m, sw, dw):
+        wh = dynamic_bilinear_resize_weights(
+            sw[2], dw[2], hs, hd, align_corners=True,
+            src_off=sw[0], dst_off=dw[0],
+        )
+        ww = dynamic_bilinear_resize_weights(
+            sw[3], dw[3], ws, wd, align_corners=True,
+            src_off=sw[1], dst_off=dw[1],
+        )
+        a = jnp.einsum("Iy,yxc->Ixc", wh, m, precision=hp)
+        return jnp.einsum("Jx,Ixc->IJc", ww, a, precision=hp)
+
+    return jax.vmap(one)(src, src_win, dst_win)
+
+
+def dynamic_avgpool3s2_weights(src_len: jax.Array, src_cap: int,
+                               dst_cap: int, src_off: jax.Array | int = 0
+                               ) -> jax.Array:
+    """(dst_cap, src_cap) 1D weights of one axis of torch's
+    ``F.avg_pool2d(kernel_size=3, stride=2, padding=1)`` with
+    count_include_pad=True (the BiFPN downsample, reference
+    src/MuSCLe.py:51,54) applied to the dynamic window
+    [src_off, src_off + src_len): output row j (window coords, written at
+    the canvas origin) averages source rows 2j-1..2j+1 with weight 1/3
+    each — taps outside the window contribute zero but the divisor stays
+    3, exactly torch's zero-pad counting.  Output rows beyond
+    ceil(src_len/2) are zero.  The 2D pool is separable, so the canvas
+    pool is two einsums with these weights."""
+    src = src_len.astype(jnp.int32)
+    off = jnp.asarray(src_off, jnp.int32)
+    dst = (src + 1) // 2
+    i = jax.lax.broadcasted_iota(jnp.int32, (dst_cap, src_cap), 0)
+    y = jax.lax.broadcasted_iota(jnp.int32, (dst_cap, src_cap), 1) - off
+    w = (
+        (y >= 2 * i - 1) & (y <= 2 * i + 1)
+        & (y >= 0) & (y < src) & (i < dst)
+    )
+    return w.astype(jnp.float32) / 3.0
+
+
+def batched_window_avgpool_s2(src: jax.Array, src_win: jax.Array,
+                              dst_hw: tuple[int, int]):
+    """Per-image window avg_pool(3, 2, pad=1, count_include_pad) of the
+    windows ``src_win`` of ``src`` onto a static (dst_h, dst_w) canvas at
+    the ORIGIN.  Returns (pooled, pooled_win) with pooled_win =
+    (0, 0, ceil(h/2), ceil(w/2))."""
+    hs, ws = src.shape[1:3]
+    hd, wd = dst_hw
+    hp = jax.lax.Precision.HIGHEST
+
+    def one(m, sw):
+        wh = dynamic_avgpool3s2_weights(sw[2], hs, hd, src_off=sw[0])
+        ww = dynamic_avgpool3s2_weights(sw[3], ws, wd, src_off=sw[1])
+        a = jnp.einsum("Iy,yxc->Ixc", wh, m, precision=hp)
+        return jnp.einsum("Jx,Ixc->IJc", ww, a, precision=hp)
+
+    pooled = jax.vmap(one)(src, src_win)
+    zero = jnp.zeros_like(src_win[:, 0])
+    pooled_win = jnp.stack(
+        [zero, zero, (src_win[:, 2] + 1) // 2, (src_win[:, 3] + 1) // 2], axis=-1
+    )
+    return pooled, pooled_win
+
+
 def avg_pool_3x3_s2(x: jax.Array) -> jax.Array:
     """3x3/stride-2/pad-1 average pool with count_include_pad=True.
 

@@ -303,13 +303,10 @@ class RandomWalkRefiner:
                 results[i] = outs[j, :, : sizes[j, 0], : sizes[j, 1]].transpose(1, 2, 0)
         return [results[i] for i in range(len(pil_images))]
 
-    def _refine_group_fast(self, crop: int, pil_images, cam_dicts):
-        """fast_io path for one size bucket: pack YCbCr canvases + K-channel
-        f16 CAMs, run the device program, upsample the grid-resolution f16
-        scores to image size on host (PIL bilinear — same half-pixel
-        semantics as the device's align_corners=False resize)."""
-        from PIL import Image
-
+    def _pack_fast(self, crop: int, pil_images, cam_dicts):
+        """Host packing for the fast_io device program: YCbCr canvases +
+        K-channel f16 CAM stacks.  Returns the device-program operand tuple
+        (y, c, transposed, cam_vals, cam_idx, sizes)."""
         from muscle_tpu.data.tta import pack_canvas_ycbcr
 
         b = len(pil_images)
@@ -328,6 +325,33 @@ class RandomWalkRefiner:
                 h, w = sizes[i]
                 cam_vals[i, j, :h, :w] = np.asarray(v, np.float16)
                 cam_idx[i, j] = cls
+        return y, c, transposed, cam_vals, cam_idx, sizes
+
+    def bench_device_exec(self, pil_images, cam_dicts):
+        """Zero-arg executor for device-only benchmarking (see
+        CamTTAEngine.bench_device_exec): pack + upload once, return a
+        closure re-dispatching the fast_io refine program on the resident
+        inputs."""
+        assert self.fast_io, "device-only bench requires fast_io"
+        crops = {self._crop_for(img.size[1], img.size[0]) for img in pil_images}
+        assert len(crops) == 1, "bench batch must share one size bucket"
+        crop = crops.pop()
+        packed = self._pack_fast(crop, pil_images, cam_dicts)
+        fn = self._refine_fast_for(crop)
+        args = tuple(jnp.asarray(a) for a in packed)
+        return lambda: fn(self.variables, *args)
+
+    def _refine_group_fast(self, crop: int, pil_images, cam_dicts):
+        """fast_io path for one size bucket: pack YCbCr canvases + K-channel
+        f16 CAMs, run the device program, upsample the grid-resolution f16
+        scores to image size on host (PIL bilinear — same half-pixel
+        semantics as the device's align_corners=False resize)."""
+        from PIL import Image
+
+        b = len(pil_images)
+        y, c, transposed, cam_vals, cam_idx, sizes = self._pack_fast(
+            crop, pil_images, cam_dicts
+        )
         outs = np.asarray(
             self._refine_fast_for(crop)(
                 self.variables, jnp.asarray(y), jnp.asarray(c),

@@ -25,6 +25,11 @@ import numpy as np
 from muscle_tpu.core.resize import dynamic_cubic_resize_weights, dynamic_window_resize
 from muscle_tpu.data.tta import msf_batch, bucket_side
 from muscle_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+from muscle_tpu.models.efficientnet import advance_window, placement_offset
+
+# stride-2 convs in the dec ('seg') backbone ladder (last_pooling=True ->
+# stride 32): placement offsets for the window-exact mode are <= 31 px
+N_STRIDED_DEC = 5
 
 
 class SegTTAEngine:
@@ -67,6 +72,7 @@ class SegTTAEngine:
         upload_mode: str = "rgb",
         mesh=None,
         shard_spatial: bool = False,
+        window_exact: bool = True,
     ):
         self.model = model
         self.variables = variables
@@ -106,6 +112,11 @@ class SegTTAEngine:
         if upload_mode not in ("rgb", "ycbcr420"):
             raise ValueError(f"unsupported upload_mode {upload_mode!r}")
         self.upload_mode = upload_mode
+        # window_exact: TF-SAME alignment placement + per-stage window
+        # re-zeroing through the backbone AND the BiFPN (models/bifpn.py
+        # window mode) — the padded-canvas forward equals the reference's
+        # unpadded forward (closes the seg half of DEVIATIONS.md #8).
+        self.window_exact = window_exact
         self._scale_fn = {}
         self._scale_raw = {}
         self._device_pipeline = {}
@@ -123,18 +134,31 @@ class SegTTAEngine:
         cdt = self.compute_dtype
         lowres = self.lowres
 
+        window_exact = self.window_exact
+
         def compute(variables, images, sizes, orig_sizes, acc):
             mode = "seg_lowres" if lowres else "seg"
-            seg, _ = model.apply(variables, images.astype(cdt), mode=mode)
+            if window_exact:
+                # per-image TF-SAME alignment windows (the caller placed
+                # the images at placement_offset(sizes)); orig and flip are
+                # interleaved in the batch, so each window repeats twice
+                off = placement_offset(sizes, N_STRIDED_DEC)
+                win = jnp.concatenate([off, sizes], axis=-1)
+                seg, _ = model.apply(
+                    variables, images.astype(cdt), mode=mode,
+                    valid_window=jnp.repeat(win, 2, axis=0),
+                )
+            else:
+                off = jnp.zeros_like(sizes)
+                seg, _ = model.apply(variables, images.astype(cdt), mode=mode)
             seg = seg.astype(jnp.float32)
             if lowres:
-                # stride-4 logits -> input-size logits (== reference
+                # stride-8 p3 logits -> input-size logits (== reference
                 # seg_map, see class docstring), then softmax
                 stride = canvas_h // seg.shape[1]
+                n_adv = stride.bit_length() - 1
 
-                def up(pair, size):
-                    wh = (size + stride - 1) // stride
-                    box = jnp.concatenate([jnp.zeros(2, jnp.int32), wh])
+                def up(pair, size, box):
                     return jax.vmap(
                         lambda m: dynamic_window_resize(
                             m, box, (canvas_h, canvas_w), dst_hw=size,
@@ -142,9 +166,16 @@ class SegTTAEngine:
                         )
                     )(pair)
 
+                if window_exact:
+                    boxes = jnp.concatenate([off, sizes], axis=-1)
+                    for _ in range(n_adv):
+                        boxes = advance_window(boxes)
+                else:
+                    wh = (sizes + stride - 1) // stride
+                    boxes = jnp.concatenate([jnp.zeros_like(sizes), wh], axis=-1)
                 b2 = seg.shape[0] // 2
                 pairs = seg.reshape(b2, 2, *seg.shape[1:])
-                seg = jax.vmap(up)(pairs, sizes).reshape(
+                seg = jax.vmap(up)(pairs, sizes, boxes).reshape(
                     -1, canvas_h, canvas_w, seg.shape[-1]
                 )
             probs = jax.nn.softmax(seg, axis=-1)
@@ -170,11 +201,12 @@ class SegTTAEngine:
 
         return compute
 
-    def _fn_for(self, scale: float, batch: int):
-        key = (scale, batch, False)
+    def _fn_for(self, scale: float, batch: int, canvas_hw=None):
+        side = bucket_side(scale, self.max_side)
+        ch, cw = canvas_hw or (side, side)
+        key = (scale, batch, ch, cw, False)
         if key not in self._scale_fn:
-            canvas = bucket_side(scale, self.max_side)
-            compute = self._core(scale, canvas, canvas)
+            compute = self._core(scale, ch, cw)
             self._scale_fn[key] = jax.jit(compute, donate_argnums=(4,))
         return self._scale_fn[key]
 
@@ -189,18 +221,29 @@ class SegTTAEngine:
             std = jnp.asarray(IMAGENET_STD[0, 0], jnp.float32)
             spatial_sh = self._spatial_sharding
 
+            window_exact = self.window_exact
+
             @functools.partial(jax.jit, donate_argnums=(3,))
             def run(variables, images_u8, orig_sizes, acc):
                 scaled = jnp.round(
                     orig_sizes.astype(jnp.float32) * scale
                 ).astype(jnp.int32)
+                if window_exact:
+                    # TF-SAME alignment placement (see CamTTAEngine)
+                    off = placement_offset(scaled, N_STRIDED_DEC)
+                else:
+                    off = jnp.zeros_like(scaled)
 
-                def make_pair(img_u8, osz, ssz):
+                def make_pair(img_u8, osz, ssz, o):
                     x = (img_u8.astype(jnp.float32) / 255.0 - mean) / std
-                    wh = dynamic_cubic_resize_weights(osz[0], ssz[0], in_side, ch)
-                    ww = dynamic_cubic_resize_weights(osz[1], ssz[1], in_side, cw)
+                    wh = dynamic_cubic_resize_weights(
+                        osz[0], ssz[0], in_side, ch, dst_off=o[0]
+                    )
+                    ww = dynamic_cubic_resize_weights(
+                        osz[1], ssz[1], in_side, cw, dst_off=o[1]
+                    )
                     wwf = dynamic_cubic_resize_weights(
-                        osz[1], ssz[1], in_side, cw, flip=True
+                        osz[1], ssz[1], in_side, cw, flip=True, dst_off=o[1]
                     )
                     a = jnp.einsum("Iy,yxc->Ixc", wh, x)
                     return (
@@ -208,7 +251,9 @@ class SegTTAEngine:
                         jnp.einsum("Jx,Ixc->IJc", wwf, a),
                     )
 
-                orig_v, flip_v = jax.vmap(make_pair)(images_u8, orig_sizes, scaled)
+                orig_v, flip_v = jax.vmap(make_pair)(
+                    images_u8, orig_sizes, scaled, off
+                )
                 images = jnp.stack([orig_v, flip_v], axis=1).reshape(-1, ch, cw, 3)
                 if spatial_sh is not None:
                     images = jax.lax.with_sharding_constraint(images, spatial_sh)
@@ -321,6 +366,29 @@ class SegTTAEngine:
             "cls_gates": cls_gates,
         }
 
+    def bench_device_exec(self, pil_images, names):
+        """Zero-arg executor for device-only benchmarking (see
+        CamTTAEngine.bench_device_exec): prep + upload once, return a
+        closure re-dispatching the fused seg TTA pipeline on the resident
+        inputs."""
+        from muscle_tpu.inference.cam import _batch_canvas
+
+        assert self.fuse_dispatch, "device-only bench requires fused dispatch"
+        prep = self._host_prep(pil_images, names)
+        b = prep["b"]
+        orig_sizes = prep["orig_sizes"]
+        canvases = tuple(
+            _batch_canvas(s, orig_sizes, self.max_side, n_strided=N_STRIDED_DEC)
+            for s in self.scales
+        )
+        fn = self._device_pipeline_for(b, canvases, prep["upload"][0])
+        args = (
+            self.variables,
+            tuple(self._put(a, b) for a in prep["upload"][1:]),
+            self._put(orig_sizes, b),
+        )
+        return lambda: fn(*args)
+
     def _run_batch(self, pil_images, names, cls_gates, defer: bool):
         b = len(pil_images)
         stride = self.accum_stride
@@ -333,10 +401,25 @@ class SegTTAEngine:
             return finalize if defer else finalize()
         else:
             assert not defer, "async pipeline requires device_tta"
+            from muscle_tpu.data.tta import scaled_size
+
             orig_sizes = None
             for s in self.scales:
-                mb = msf_batch(pil_images, names, s, canvas=bucket_side(s, self.max_side))
-                acc = self._fn_for(s, b)(
+                # host-side scaled sizes + TF-SAME placement, like
+                # CamTTAEngine.run_batch — _core recomputes the same
+                # offsets from mb.sizes on device
+                scaled = np.asarray(
+                    [scaled_size(*img.size, s)[::-1] for img in pil_images],
+                    np.int32,
+                )
+                if self.window_exact:
+                    off = placement_offset(scaled, N_STRIDED_DEC)
+                else:
+                    off = np.zeros_like(scaled)
+                ch = -(-int(np.max(scaled[:, 0] + off[:, 0])) // 64) * 64
+                cw = -(-int(np.max(scaled[:, 1] + off[:, 1])) // 64) * 64
+                mb = msf_batch(pil_images, names, s, canvas=(ch, cw), offsets=off)
+                acc = self._fn_for(s, b, (ch, cw))(
                     self.variables,
                     jnp.asarray(mb.images), jnp.asarray(mb.sizes),
                     jnp.asarray(mb.orig_sizes), acc,
@@ -370,7 +453,8 @@ class SegTTAEngine:
         up = prep["upload"]
         if self.fuse_dispatch:
             canvases = tuple(
-                _batch_canvas(s, orig_sizes, self.max_side) for s in self.scales
+                _batch_canvas(s, orig_sizes, self.max_side, n_strided=N_STRIDED_DEC)
+            for s in self.scales
             )
             fused = self._device_pipeline_for(b, canvases, up[0])(
                 self.variables,
@@ -403,7 +487,7 @@ class SegTTAEngine:
             sizes_dev = self._put(orig_sizes, b)
             for s in self.scales:
                 acc = self._device_fn_for(
-                    s, b, _batch_canvas(s, orig_sizes, self.max_side)
+                    s, b, _batch_canvas(s, orig_sizes, self.max_side, n_strided=N_STRIDED_DEC)
                 )(self.variables, images_dev, sizes_dev, acc)
             fused = self._finish(acc)
 

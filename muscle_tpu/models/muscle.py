@@ -21,11 +21,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from muscle_tpu.core.resize import (
-    dynamic_bilinear_resize_weights,
-    resize_bilinear,
-    resize_to,
-)
+from muscle_tpu.core.resize import resize_bilinear, resize_to
 from muscle_tpu.models.bifpn import BiFPN
 from muscle_tpu.models.efficientnet import EfficientNet, advance_window
 
@@ -156,28 +152,13 @@ class MuSCLe(nn.Module):
 
     def _window_resize_ac(self, src: jax.Array, src_win: jax.Array,
                           dst_win: jax.Array, dst_hw: tuple[int, int]) -> jax.Array:
-        """Per-image align_corners=True bilinear resize of the valid window
-        ``src_win`` of ``src`` onto the window ``dst_win`` of a static
-        (dst_h, dst_w) canvas — the reference's F.interpolate on UNPADDED
-        pyramid features (src/MuSCLe.py:248-253), reproduced inside padded
-        canvases.  Zero outside the destination window."""
-        hs, ws = src.shape[1:3]
-        hd, wd = dst_hw
-        hp = jax.lax.Precision.HIGHEST
+        """Per-image window resize, align_corners=True — the reference's
+        F.interpolate on UNPADDED pyramid features (src/MuSCLe.py:248-253)
+        inside padded canvases (now shared with the window-exact BiFPN:
+        core.resize.batched_window_resize_ac)."""
+        from muscle_tpu.core.resize import batched_window_resize_ac
 
-        def one(m, sw, dw):
-            wh = dynamic_bilinear_resize_weights(
-                sw[2], dw[2], hs, hd, align_corners=True,
-                src_off=sw[0], dst_off=dw[0],
-            )
-            ww = dynamic_bilinear_resize_weights(
-                sw[3], dw[3], ws, wd, align_corners=True,
-                src_off=sw[1], dst_off=dw[1],
-            )
-            a = jnp.einsum("Iy,yxc->Ixc", wh, m, precision=hp)
-            return jnp.einsum("Jx,Ixc->IJc", ww, a, precision=hp)
-
-        return jax.vmap(one)(src, src_win, dst_win)
+        return batched_window_resize_ac(src, src_win, dst_win, dst_hw)
 
     def __call__(
         self,
@@ -251,7 +232,22 @@ class MuSCLe(nn.Module):
             return cams, sgc, emb, self.fc(emb)
 
         if mode in ("seg", "vis", "seg_lowres"):
-            p3_dec = self.bifpn([p3, p4, p5, p6, p7], train=train)[0]
+            feats5 = [p3, p4, p5, p6, p7]
+            windows = None
+            if valid_window is not None:
+                # per-level windows by stride (dec ladder: p3@8, p4/p5@16,
+                # p6/p7@32 under last_pooling) — the BiFPN then runs its
+                # window-exact mode (models/bifpn.py), closing the seg-path
+                # half of DEVIATIONS.md #8
+                windows = []
+                w, k_done = valid_window, 0
+                for p in feats5:
+                    k = (hh // p.shape[1]).bit_length() - 1
+                    while k_done < k:
+                        w = advance_window(w)
+                        k_done += 1
+                    windows.append(w)
+            p3_dec = self.bifpn(feats5, train=train, windows=windows)[0]
             if mode == "seg_lowres":
                 # fuse_dec is a 1x1 conv, which commutes exactly with the
                 # bilinear upsample (linear map + row-stochastic weights),
@@ -259,7 +255,22 @@ class MuSCLe(nn.Module):
                 # resize -> conv, while never materialising the full-res
                 # 256-channel dense feature.
                 return self.fuse_dec(p3_dec), p3_dec
-            dense_ft = resize_bilinear(p3_dec, (hh, ww), align_corners=True)
+            if valid_window is not None:
+                # reference: interpolate the UNPADDED p3 decoder output to
+                # the input size — here: the p3 window onto the window-size
+                # region at the canvas origin (the output convention of the
+                # TTA engines' per-image readers)
+                dst_win = jnp.concatenate(
+                    [jnp.zeros_like(valid_window[:, :2]), valid_window[:, 2:]],
+                    axis=-1,
+                )
+                from muscle_tpu.core.resize import batched_window_resize_ac
+
+                dense_ft = batched_window_resize_ac(
+                    p3_dec, windows[0], dst_win, (hh, ww)
+                )
+            else:
+                dense_ft = resize_bilinear(p3_dec, (hh, ww), align_corners=True)
             seg_map = self.fuse_dec(dense_ft)
             if mode == "vis":
                 return seg_map, p7

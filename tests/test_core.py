@@ -128,3 +128,33 @@ def test_voc_color_map_known_entries():
     np.testing.assert_array_equal(cmap[1], [128, 0, 0])
     np.testing.assert_array_equal(cmap[15], [192, 128, 128])  # person
     np.testing.assert_array_equal(cmap[255], [224, 224, 192])
+
+
+def test_window_avgpool_matches_torch(rng):
+    """batched_window_avgpool_s2 == F.avg_pool2d(3, 2, padding=1,
+    count_include_pad=True) applied to the unpadded window (the BiFPN
+    downsample, reference src/MuSCLe.py:51,54), written at the canvas
+    origin."""
+    import torch
+    import torch.nn.functional as F
+
+    from muscle_tpu.core.resize import batched_window_avgpool_s2
+
+    for (h, w, oy, ox) in [(13, 17, 3, 5), (8, 8, 0, 0), (11, 6, 7, 1)]:
+        x = rng.normal(size=(h, w, 4)).astype(np.float32)
+        canvas = np.zeros((32, 32, 4), np.float32)
+        canvas[oy:oy + h, ox:ox + w] = x
+        win = np.array([[oy, ox, h, w]], np.int32)
+        got, got_win = batched_window_avgpool_s2(
+            jnp.asarray(canvas[None]), jnp.asarray(win), (16, 16)
+        )
+        want = F.avg_pool2d(
+            torch.from_numpy(x.transpose(2, 0, 1))[None], kernel_size=3,
+            stride=2, padding=1,
+        )[0].numpy().transpose(1, 2, 0)
+        gh, gw = want.shape[:2]
+        assert tuple(np.asarray(got_win)[0, 2:]) == (gh, gw)
+        np.testing.assert_allclose(np.asarray(got)[0, :gh, :gw], want,
+                                   atol=1e-6, rtol=1e-6)
+        assert np.abs(np.asarray(got)[0, gh:]).max() == 0.0
+        assert np.abs(np.asarray(got)[0, :, gw:]).max() == 0.0

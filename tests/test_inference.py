@@ -531,3 +531,53 @@ def test_seg_run_stream_matches_run_batch(enc_model):
         for w, g in zip(wb, gb):
             assert w["name"] == g["name"]
             np.testing.assert_array_equal(w["probs"], g["probs"])
+
+
+def test_seg_window_exact_canvas_equals_unpadded():
+    """Window-exact dec forward (DEVIATIONS.md #8, seg half): an image
+    embedded at its TF-SAME placement offset in a larger canvas, run with
+    valid_window through the backbone AND the BiFPN window mode, must equal
+    the same model's unpadded forward — for both 'seg' and 'seg_lowres'."""
+    import jax
+    import numpy as np
+
+    from muscle_tpu.models import MuSCLe
+    from muscle_tpu.models.efficientnet import placement_offset
+
+    rng = np.random.default_rng(7)
+    h, w = 48, 56
+    model = MuSCLe(backbone_name="efficientnet-b1", mode="dec",
+                   bifpn_layers=1, last_pooling=True)
+    x = rng.normal(size=(1, h, w, 3)).astype(np.float32)
+    variables = model.init({"params": jax.random.key(0)},
+                           jnp.zeros((1, 64, 64, 3)), mode="seg")
+
+    want_seg, _ = model.apply(variables, jnp.asarray(x), mode="seg")
+    want_low, want_p3 = model.apply(variables, jnp.asarray(x), mode="seg_lowres")
+
+    off = placement_offset(np.array([[h, w]], np.int32), 5)[0]
+    canvas = np.zeros((1, 128, 128, 3), np.float32)
+    canvas[0, off[0]:off[0] + h, off[1]:off[1] + w] = x[0]
+    win = jnp.asarray([[off[0], off[1], h, w]], jnp.int32)
+
+    got_seg, _ = model.apply(variables, jnp.asarray(canvas), mode="seg",
+                             valid_window=win)
+    # 'seg' window mode writes the window-size result at the canvas origin
+    np.testing.assert_allclose(
+        np.asarray(got_seg)[0, :h, :w], np.asarray(want_seg)[0],
+        atol=2e-5, rtol=1e-4,
+    )
+
+    got_low, got_p3 = model.apply(variables, jnp.asarray(canvas),
+                                  mode="seg_lowres", valid_window=win)
+    # stride-8 logits live at the advanced window inside the p3 canvas
+    from muscle_tpu.models.efficientnet import advance_window
+
+    w8 = np.asarray(advance_window(advance_window(advance_window(
+        np.array([[off[0], off[1], h, w]], np.int32)))))[0]
+    oy, ox, hh, ww = w8
+    np.testing.assert_allclose(
+        np.asarray(got_low)[0, oy:oy + hh, ox:ox + ww],
+        np.asarray(want_low)[0],
+        atol=2e-5, rtol=1e-4,
+    )
