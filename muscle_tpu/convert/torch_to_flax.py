@@ -144,6 +144,108 @@ def convert_muscle_state_dict(sd: Mapping[str, np.ndarray]) -> dict[str, Any]:
     return t.variables()
 
 
+class _Inverter:
+    """Inverse of :class:`_Translator`: reads the flax tree and emits a
+    torch ``state_dict`` with the layout transforms undone.  Exists so the
+    fidelity gates can run the torch reference AS ORACLE on weights we
+    trained (gates on the gate-6 trained checkpoint) — the forward
+    converter alone can only gate random-init or published weights."""
+
+    def __init__(self, variables: Mapping[str, Any]) -> None:
+        self.params = variables["params"]
+        self.stats = variables.get("batch_stats", {})
+        self.sd: dict[str, np.ndarray] = {}
+
+    @staticmethod
+    def _get(tree, path):
+        node = tree
+        for p in path:
+            node = node[p]
+        return np.asarray(node)
+
+    def has(self, path) -> bool:
+        node = self.params
+        for p in path:
+            if p not in node:
+                return False
+            node = node[p]
+        return True
+
+    def conv(self, path, key, bias: bool = False):
+        k = self._get(self.params, path + ("kernel",))
+        self.sd[key + ".weight"] = np.ascontiguousarray(k.transpose(3, 2, 0, 1))
+        if bias:
+            self.sd[key + ".bias"] = self._get(self.params, path + ("bias",))
+
+    def dense(self, path, key):
+        self.sd[key + ".weight"] = np.ascontiguousarray(
+            self._get(self.params, path + ("kernel",)).T
+        )
+
+    def bn(self, path, key):
+        self.sd[key + ".weight"] = self._get(self.params, path + ("scale",))
+        self.sd[key + ".bias"] = self._get(self.params, path + ("bias",))
+        self.sd[key + ".running_mean"] = self._get(self.stats, path + ("mean",))
+        self.sd[key + ".running_var"] = self._get(self.stats, path + ("var",))
+
+
+def _invert_efficientnet(v: _Inverter, src: tuple[str, ...], dst: str) -> None:
+    v.conv(src + ("_conv_stem",), dst + "_conv_stem")
+    v.bn(src + ("_bn0",), dst + "_bn0")
+    # enumerate flax block submodules under the backbone subtree
+    tree = v.params
+    for p in src:
+        tree = tree[p]
+    blocks = sorted(
+        int(k.split("_blocks_")[1]) for k in tree if k.startswith("_blocks_")
+    )
+    for i in blocks:
+        bsrc = src + (f"_blocks_{i}",)
+        bdst = f"{dst}_blocks.{i}."
+        if v.has(bsrc + ("_expand_conv",)):
+            v.conv(bsrc + ("_expand_conv",), bdst + "_expand_conv")
+            v.bn(bsrc + ("_bn0",), bdst + "_bn0")
+        v.conv(bsrc + ("_depthwise_conv",), bdst + "_depthwise_conv")
+        v.bn(bsrc + ("_bn1",), bdst + "_bn1")
+        if v.has(bsrc + ("_se_reduce",)):
+            v.conv(bsrc + ("_se_reduce",), bdst + "_se_reduce", bias=True)
+            v.conv(bsrc + ("_se_expand",), bdst + "_se_expand", bias=True)
+        v.conv(bsrc + ("_project_conv",), bdst + "_project_conv")
+        v.bn(bsrc + ("_bn2",), bdst + "_bn2")
+
+
+def flax_to_muscle_state_dict(variables: Mapping[str, Any]) -> dict[str, np.ndarray]:
+    """Exact inverse of :func:`convert_muscle_state_dict` (torch prefix
+    'backbone.'): round-trip tested key-by-key in
+    tests/test_parity_models.py::test_muscle_converter_inverse_roundtrip."""
+    v = _Inverter(variables)
+    _invert_efficientnet(v, ("backbone",), "backbone.")
+    if v.has(("fuse",)):
+        v.conv(("fuse",), "fuse", bias=True)
+    if v.has(("fc",)):
+        v.dense(("fc",), "fc")
+    if v.has(("fuse_dec",)):
+        v.conv(("fuse_dec",), "fuse_dec", bias=True)
+    if v.has(("BIFPN",)):
+        for k in ("inp3", "inp4", "inp5", "inp6", "inp7"):
+            v.conv(("BIFPN", k, "conv"), f"BIFPN.{k}.0", bias=True)
+            v.bn(("BIFPN", k, "bn"), f"BIFPN.{k}.1")
+        layers = sorted(
+            int(k.split("layer_")[1])
+            for k in v.params["BIFPN"]
+            if k.startswith("layer_")
+        )
+        for i in layers:
+            ldst = ("BIFPN", f"layer_{i}")
+            lsrc = f"BIFPN.BIFPN_Layers.{i}."
+            for k in ("convp67", "convp56", "convp45", "convp34"):
+                v.conv(ldst + (k, "conv"), lsrc + k + ".0", bias=True)
+            for k in ("out4", "out5", "out6", "out7"):
+                v.conv(ldst + (k, "conv"), lsrc + k + ".0", bias=True)
+                v.bn(ldst + (k, "bn"), lsrc + k + ".1")
+    return v.sd
+
+
 def _convert_resnet50(t: _Translator, sd: Mapping[str, np.ndarray], src: str, dst: tuple[str, ...]) -> None:
     t.conv(dst + ("conv1",), sd[src + "conv1.weight"])
     t.bn(dst + ("bn1", "bn"), sd, src + "bn1")

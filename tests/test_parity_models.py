@@ -247,3 +247,55 @@ def test_fetch_weights_url_cache(tmp_path):
     p2 = fetch_weights(url, cache_dir=str(cache))
     assert p1 == p2 and open(p2, "rb").read() == b"notarealcheckpoint"
     assert fetch_weights("/plain/path.pth", cache_dir=str(cache)) == "/plain/path.pth"
+
+
+@pytest.mark.parametrize("mode", ["enc", "dec"])
+def test_muscle_converter_inverse_roundtrip(mode):
+    """flax_to_muscle_state_dict is the exact inverse of
+    convert_muscle_state_dict: torch sd -> flax -> torch reproduces every
+    consumed tensor bit-exactly (the transforms are pure transposes).  This
+    is what lets the fidelity gates run the torch reference as oracle on a
+    TRAINED flax checkpoint (gates 1/2 at the gate-6 trained point)."""
+    from muscle_tpu.convert import flax_to_muscle_state_dict
+
+    torch.manual_seed(3)
+    tmodel = src.MuSCLe(
+        num_classes=21, pretrained="efficientnet-b1", layers=1,
+        MemoryEfficient=True, last_pooling=(mode == "dec"), mode=mode,
+    )
+    sd = _to_numpy_sd(tmodel)
+    variables = convert_muscle_state_dict(sd)
+    back = flax_to_muscle_state_dict(variables)
+    # every key the inverse emits must exist in the torch sd and match
+    for k, v in back.items():
+        assert k in sd, f"inverse emitted unknown torch key {k}"
+        np.testing.assert_array_equal(v, sd[k], err_msg=k)
+    # and the inverse must cover everything the forward converter consumed.
+    # Legitimate leftovers: num_batches_tracked buffers and the backbone's
+    # own classifier head (_conv_head/_bn1/_fc) — dead in MuSCLe, whose
+    # forward stops at the block pyramid (reference model.py:171-188), so
+    # the forward converter never consumes them either.
+    dead = ("backbone._conv_head.", "backbone._bn1.", "backbone._fc.")
+    missing = [
+        k for k in sd
+        if k not in back
+        and not k.endswith("num_batches_tracked")
+        and not k.startswith(dead)
+    ]
+    assert not missing, f"inverse missed torch keys: {missing[:8]}"
+    # the round-tripped sd must load cleanly into a fresh reference module
+    import torch as _torch
+
+    tfresh = src.MuSCLe(
+        num_classes=21, pretrained="efficientnet-b1", layers=1,
+        MemoryEfficient=True, last_pooling=(mode == "dec"), mode=mode,
+    )
+    res = tfresh.load_state_dict(
+        {k: _torch.from_numpy(np.ascontiguousarray(v)) for k, v in back.items()},
+        strict=False,
+    )
+    assert not res.unexpected_keys
+    assert all(
+        k.endswith("num_batches_tracked") or k.startswith(dead)
+        for k in res.missing_keys
+    )
