@@ -228,7 +228,7 @@ class CamTTAEngine:
             def per_image(cam2, sgc2, size, orig):
                 if lowres:
                     # composed exact two-stage chain (see _device_core)
-                    map_sz = (size + feat_stride - 1) // feat_stride
+                    map_sz = size // feat_stride  # static-pad floor chain (models/efficientnet._static_pad)
                     mh, mw = cam2.shape[1], cam2.shape[2]
                     wh = composed_cam_resize_weights(
                         map_sz[0], size[0], orig[0], mh, canvas_h, out_side
@@ -350,7 +350,7 @@ class CamTTAEngine:
                     # (stride-16 map -> input size, align_corners=True ->
                     # original/stride, half-pixel) composed into one
                     # per-axis weight matrix (core/resize.py)
-                    map_sz = (size + feat_stride - 1) // feat_stride
+                    map_sz = size // feat_stride  # static-pad floor chain (models/efficientnet._static_pad)
                     mh, mw = sgc2.shape[1], sgc2.shape[2]
                     wh = composed_cam_resize_weights(
                         map_sz[0], size[0], dst[0], mh, canvas_h, acc_side

@@ -4,9 +4,18 @@ Capability parity with the reference backbone
 (src/efficientnet_pytorch/model.py, utils.py) re-designed for XLA:
 
 * channels-last layout (NHWC) — the native TPU convolution layout;
-* TF-style SAME padding via XLA's ``padding='SAME'`` (exactly the asymmetric
-  scheme the reference reimplements in Conv2dDynamicSamePadding,
-  utils.py:103-119);
+* stride-1 convs use XLA's ``padding='SAME'`` (== the reference's TF-SAME
+  for stride 1 at every size); stride-2 convs use the reference's STATIC
+  pads (utils.py:122-146): Conv2dStaticSamePadding computes its pad ONCE
+  from ``global_params.image_size`` (a constant per variant, always even:
+  224-672) and applies it at every runtime size, so the operative
+  semantics is "even-input TF-SAME pads unconditionally" — total k-2,
+  split ((k-2)//2, rest).  For even inputs this equals dynamic SAME; for
+  odd inputs it pads one less on the left and produces the FLOOR size
+  chain (25 -> 12 -> 6 -> 3), which dynamic SAME does not (-> 13).  Real
+  VOC sides (375x500) are odd, so matching this is required for trained-
+  weight parity (round-4 gate-1 '_trained' bisect: deltas appeared
+  exactly on odd-dim scales and vanished on even-chain sizes);
 * swish is plain ``jax.nn.silu`` — the reference's custom-autograd
   "MemoryEfficientSwish" (utils.py:36-52) is a torch memory workaround that
   XLA's fusion/remat makes unnecessary;
@@ -114,21 +123,31 @@ def efficientnet_config(
     return tuple(blocks), 0.2
 
 
+def _static_pad(kernel_size: int):
+    """The reference's stride-2 pad amounts (Conv2dStaticSamePadding,
+    utils.py:122-146, image_size constant & even per variant): total
+    k - 2, split low-first — k3 -> ((0, 1), (0, 1)), k5 -> ((1, 2), (1, 2)).
+    Equals XLA's dynamic SAME on even inputs; the reference semantics
+    (floor size chain) on odd inputs."""
+    lo = (kernel_size - 2) // 2
+    hi = kernel_size - 2 - lo
+    return ((lo, hi), (lo, hi))
+
+
 def advance_window(win):
-    """Valid-window transform across one TF-SAME stride-2 conv.
+    """Valid-window transform across one static-pad stride-2 conv.
 
     ``win``: (..., 4) int (oy, ox, h, w) — the image's valid window inside
-    the padded canvas at the conv's INPUT resolution.  TF SAME pads
-    pad_left = pad_total // 2 (reference utils.py:103-119): for the odd
-    kernels used here (3, 5) that is one MORE column on the left when the
-    input length is odd than when it is even, while the even canvas always
-    gets the even-length padding.  Embedding the image at offset ``o`` and
-    zeroing outside the window therefore reproduces the reference's
-    unpadded conv exactly when o_out = (o_in - (len & 1)) / 2 — integral by
-    construction of placement_offset().  Works on numpy and jax arrays.
+    the padded canvas at the conv's INPUT resolution.  The reference's
+    static pads (see _static_pad) are size-independent, so a window placed
+    at an EVEN offset stays stride-grid aligned and the output window is
+    simply the floor transform (oy//2, ox//2, h//2, w//2): the right/
+    bottom zeros the reference's pad supplies are the canvas zeros outside
+    the window, and the k5 left zero coincides with the canvas conv's own
+    left pad column.  placement_offset() keeps every offset at 0, which is
+    even at every level.  Works on numpy and jax arrays.
     """
-    oy, ox, h, w = win[..., 0], win[..., 1], win[..., 2], win[..., 3]
-    new = [(oy - (h & 1)) // 2, (ox - (w & 1)) // 2, (h + 1) // 2, (w + 1) // 2]
+    new = [win[..., 0] // 2, win[..., 1] // 2, win[..., 2] // 2, win[..., 3] // 2]
     if isinstance(win, jax.Array):
         return jnp.stack(new, axis=-1)
     import numpy as np
@@ -137,28 +156,23 @@ def advance_window(win):
 
 
 def placement_offset(sizes, n_strided: int):
-    """Per-image canvas placement (oy, ox) such that after ``n_strided``
-    TF-SAME stride-2 convs the valid window sits at offset 0.
+    """Per-image canvas placement (oy, ox) such that the valid window stays
+    stride-grid aligned through ``n_strided`` static-pad stride-2 convs.
 
-    ``sizes``: (..., 2) int (h, w).  Back-propagates the advance_window
-    recursion from a zero final offset: O = sum_j q_j * 2^j with q_j the
-    window-length parity at strided layer j (STATUS.md backlog #1's
-    "ALIGNMENT" component).  O <= 2^n_strided - 1 (15 at stride 16).
-    Works on numpy and jax arrays.
+    With the reference's size-independent static pads (_static_pad) every
+    conv's window grid starts at the image origin, so offset 0 is aligned
+    at every level and this is identically zero.  (Under dynamic TF-SAME
+    this used to be the parity ladder O = sum_j q_j * 2^j; kept as a
+    function because every engine routes placement through it, and so the
+    signature documents the alignment requirement.)  Works on numpy and
+    jax arrays.
     """
-    h, w = sizes[..., 0], sizes[..., 1]
-    oy = h * 0
-    ox = w * 0
-    for j in range(n_strided):
-        oy = oy + (h & 1) * (1 << j)
-        ox = ox + (w & 1) * (1 << j)
-        h = (h + 1) // 2
-        w = (w + 1) // 2
+    zero = sizes[..., 0] * 0
     if isinstance(sizes, jax.Array):
-        return jnp.stack([oy, ox], axis=-1)
+        return jnp.stack([zero, zero], axis=-1)
     import numpy as np
 
-    return np.stack([oy, ox], axis=-1)
+    return np.stack([zero, zero], axis=-1)
 
 
 def window_mask(hw: tuple[int, int], win: jax.Array, dtype) -> jax.Array:
@@ -282,7 +296,9 @@ class MBConvBlock(nn.Module):
             oup,
             (a.kernel_size, a.kernel_size),
             strides=(a.stride, a.stride),
-            padding="SAME",
+            # stride 2: the reference's size-independent static pads
+            # (_static_pad); == SAME on even inputs, floor chain on odd
+            padding="SAME" if a.stride == 1 else _static_pad(a.kernel_size),
             use_bias=False,
             feature_group_count=oup,
             dtype=self.dtype,
@@ -354,7 +370,8 @@ class EfficientNet(nn.Module):
 
         stem = round_filters(32, width)
         x = nn.Conv(
-            stem, (3, 3), strides=(2, 2), padding="SAME", use_bias=False, dtype=self.dtype, name="_conv_stem"
+            stem, (3, 3), strides=(2, 2), padding=_static_pad(3),
+            use_bias=False, dtype=self.dtype, name="_conv_stem"
         )(x)
         x = nn.silu(
             nn.BatchNorm(

@@ -140,11 +140,13 @@ class MuSCLe(nn.Module):
         return sgc.reshape(n, h, w, -1)
 
     def _feature_mask(self, p7: jax.Array, hh: int, valid_hw: jax.Array) -> jax.Array:
-        """(N, h7, w7, 1) mask of the valid feature window: ceil(valid/stride)
-        — the p7 size the reference's unpadded forward would produce."""
+        """(N, h7, w7, 1) mask of the valid feature window: valid // stride
+        — the p7 size the reference's static-pad forward produces (the
+        FLOOR chain, efficientnet._static_pad; floor-by-2 composed n times
+        == floor by 2^n)."""
         n, h7, w7, _ = p7.shape
         stride = hh // h7
-        eff = (valid_hw + stride - 1) // stride
+        eff = valid_hw // stride
         rows = jnp.arange(h7)[None, :, None]
         cols = jnp.arange(w7)[None, None, :]
         m = (rows < eff[:, 0:1, None]) & (cols < eff[:, 1:2, None])

@@ -169,7 +169,11 @@ def test_cam_lowres_close_to_fullres(enc_model):
     # padded case: the two paths differ by design (lowres=False resizes
     # the canvas-wide map; the composed chain applies the reference's
     # window semantics — the more faithful of the two, see
-    # tools/fast_attribution.py) — structural agreement only
+    # tools/fast_attribution.py) — structural agreement only.  Compare
+    # mean-removed maps: min-max normalisation of a DEGENERATE random-
+    # weight CAM (constant map) leaves an arbitrary constant whose offset
+    # between the paths is noise, not structure (observed 0.063 after the
+    # static-pad floor-chain change).
     imgs = _imgs([(48, 40)], seed=6)
     kw = dict(scales=(1.0,), out_side=64, max_side=60)
     full = CamTTAEngine(
@@ -178,7 +182,7 @@ def test_cam_lowres_close_to_fullres(enc_model):
     low = CamTTAEngine(
         model, variables, lowres=True, **kw
     ).run_batch(imgs, ["a"], [lab])[0]["sgc"][4].astype(np.float32)
-    assert np.abs(low - full).mean() < 0.05
+    assert np.abs((low - low.mean()) - (full - full.mean())).mean() < 0.05
     if full.std() > 1e-3 and low.std() > 1e-3:
         corr = np.corrcoef(low.reshape(-1), full.reshape(-1))[0, 1]
         assert corr > 0.95
