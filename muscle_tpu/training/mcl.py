@@ -136,7 +136,8 @@ def mcl_train_step(model, tx, state, batch, rng, cfg: MCLConfig):
 
 def mcl_term_grad_norms(model, state, batch, rng,
                         cfg: MCLConfig = MCLConfig(True, True, True),
-                        views_train_mode: bool = False) -> dict:
+                        views_train_mode: bool = False,
+                        method: str = "jacrev") -> dict:
     """Per-term parameter-gradient norms — the liveness diagnostic the
     round-2 verdict asked for: a loss term whose VALUE is small can still
     be a live training signal, and a term whose value is O(1) can be a
@@ -147,6 +148,10 @@ def mcl_term_grad_norms(model, state, batch, rng,
     view1/view2/coord1/coord2 (step-B terms).  One jacrev per step = one
     backward pass per term, on the caller's tiny shapes.
 
+    method: 'jacrev' = per-term gradient norms (full tier); 'jvp' =
+    per-term |directional derivative| at one fixed random tangent — the
+    one-compile cheap liveness observable (training/liveness.py).
+
     views_train_mode: probe the step-B terms with train-mode BN.  The real
     step B runs eval-mode (reference train_mcl.py:203), but on an
     UNCALIBRATED model eval-mode BN (identity running stats) collapses the
@@ -156,8 +161,6 @@ def mcl_term_grad_norms(model, state, batch, rng,
     liveness probes on random-init models should pass True; calibrated /
     trained checkpoints can use the faithful False.
     """
-    import optax
-
     batch = dict(batch)
     for k in ("img", "view1", "view2"):
         if k in batch or k + "_y" in batch:
@@ -220,6 +223,8 @@ def mcl_term_grad_norms(model, state, batch, rng,
             )
         return out
 
+    from muscle_tpu.training.liveness import term_liveness
+
     norms: dict[str, float] = {}
     makers = [terms_a]
     if cfg.use_pixpro and "view1" in batch:
@@ -231,17 +236,9 @@ def mcl_term_grad_norms(model, state, batch, rng,
             d = maker(params)
             return jnp.stack([d[k] for k in keys])
 
-        # One jitted program per maker: jacrev (one backward per term) and
-        # the per-term global norms all on device — eager dispatch of the
-        # k backward passes dominated the multichip dryrun's wall time on
-        # 1-vCPU hosts, and jitting makes the program persistent-cacheable.
-        def norms_fn(params, stacked=stacked, n=len(keys)):
-            jac = jax.jacrev(stacked)(params)
-            return jnp.stack([
-                optax.global_norm(jax.tree.map(lambda x, i=i: x[i], jac))
-                for i in range(n)
-            ])
-        vals = jax.jit(norms_fn)(state.params)
+        # One jitted program per maker (eager dispatch of the k backward
+        # passes dominated dryrun wall time on 1-vCPU hosts).
+        _, vals = term_liveness(stacked, len(keys), state.params, method)
         for i, k in enumerate(keys):
             norms[k] = float(vals[i])
     return norms

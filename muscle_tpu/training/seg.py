@@ -63,11 +63,17 @@ def cross_entropy(seg_logits: jax.Array, hard_mask: jax.Array) -> jax.Array:
 
 
 def seg_term_grad_norms(model, state, batch, rng,
-                        cfg: SegConfig = SegConfig()) -> dict:
+                        cfg: SegConfig = SegConfig(),
+                        method: str = "jacrev",
+                        return_values: bool = False):
     """Per-term parameter-gradient norms for the seg losses (CE + BEACON) —
-    see training/mcl.py mcl_term_grad_norms for the rationale."""
-    import optax
+    see training/mcl.py mcl_term_grad_norms for the rationale and the
+    'jvp' cheap-liveness method.
 
+    return_values: also return the per-term loss VALUES as a second dict —
+    lets callers distinguish "dead path" (value nonzero, liveness zero)
+    from "not engaged" (value exactly zero via BEACON's data-dependent
+    count>k gate, losses/beacon.py:194 / reference src/edge.py:297-316)."""
     batch = _dequant_batch(batch, cfg.num_classes)
     label_bg = attach_bg_channel(batch["label"])
     hard_mask = jnp.argmax(batch["mask"], axis=-1)
@@ -84,23 +90,19 @@ def seg_term_grad_norms(model, state, batch, rng,
         l_beacon, _ = field_loss(seg_map, dense_ft, batch["mask"], label_bg, rng, flc)
         return {"seg": cross_entropy(seg_map, hard_mask), "beacon": l_beacon}
 
+    from muscle_tpu.training.liveness import term_liveness
+
     keys = sorted(jax.eval_shape(terms, state.params))
 
     def stacked(params):
         d = terms(params)
         return jnp.stack([d[k] for k in keys])
 
-    # Jitted for the same 1-vCPU-host reason as mcl_term_grad_norms: the
-    # eager jacrev dispatch dominated dryrun wall time.
-    def norms_fn(params):
-        jac = jax.jacrev(stacked)(params)
-        return jnp.stack([
-            optax.global_norm(jax.tree.map(lambda x, i=i: x[i], jac))
-            for i in range(len(keys))
-        ])
-
-    vals = jax.jit(norms_fn)(state.params)
-    return {k: float(vals[i]) for i, k in enumerate(keys)}
+    values, vals = term_liveness(stacked, len(keys), state.params, method)
+    norms = {k: float(vals[i]) for i, k in enumerate(keys)}
+    if return_values:
+        return norms, {k: float(values[i]) for i, k in enumerate(keys)}
+    return norms
 
 
 @functools.partial(jax.jit, static_argnames=("model", "tx", "cfg"), donate_argnums=(2,))
