@@ -136,13 +136,14 @@ def make_oracle_muscle(backbone: str, mode: str = "enc", layers: int = 1,
         # rows, MuSCLe.py CAM einsum) positive so class maps don't clip to
         # constants.
         rng = np.random.default_rng(seed)
+        calib_mode = "seg" if mode == "dec" else "cam"  # dec has no fc/fuse
         with torch.no_grad():
             tmodel.train()
             for _ in range(3):
                 x = torch.from_numpy(
                     rng.normal(0, 1, size=(2, 3, 96, 96)).astype(np.float32)
                 )
-                tmodel(x, cam="cam")
+                tmodel(x, cam=calib_mode)
             tmodel.eval()
             if hasattr(tmodel, "fc") and mode == "enc":
                 # Trained CAMs are relu-sparse (per-class min ~ 0), which is
@@ -166,6 +167,47 @@ def make_oracle_muscle(backbone: str, mode: str = "enc", layers: int = 1,
         {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
     )
     return tmodel, variables
+
+
+def make_oracle_from_flax(backbone: str, mode: str, layers: int, variables):
+    """Torch reference MuSCLe carrying weights TRAINED IN THIS FRAMEWORK,
+    via the exact inverse converter (convert.flax_to_muscle_state_dict) —
+    the '_trained' fidelity rows feed the gate-6 checkpoints back through
+    the oracle so the 0.3 budget is exercised on structured,
+    class-separated maps (round-3 verdict item 4)."""
+    import torch
+
+    from muscle_tpu.convert import flax_to_muscle_state_dict
+
+    src = _load_reference()
+    tmodel = src.MuSCLe(
+        num_classes=21, pretrained=backbone, layers=layers,
+        MemoryEfficient=True, last_pooling=(mode == "dec"), mode=mode,
+    )
+    sd = {
+        k: torch.from_numpy(np.ascontiguousarray(v))
+        for k, v in flax_to_muscle_state_dict(variables).items()
+    }
+    missing, unexpected = tmodel.load_state_dict(sd, strict=False)
+    if unexpected:
+        raise ValueError(f"inverse converter produced unknown keys: {unexpected[:5]}")
+    real_missing = [
+        k for k in missing
+        if "num_batches_tracked" not in k
+        # the reference's top-level conv head, bn1 and fc are dead code —
+        # their forward applications are commented out
+        # (efficientnet_pytorch/model.py:197-201) — so the flax model has
+        # no counterpart; random init is inert
+        and not k.startswith(("backbone._conv_head", "backbone._bn1",
+                              "backbone._fc"))
+        # fuse_dec is constructed unconditionally (MuSCLe.py:187) but only
+        # applied in the seg forward (MuSCLe.py:286,297) — dead in enc mode
+        and not (mode == "enc" and k.startswith("fuse_dec"))
+    ]
+    if real_missing:
+        raise ValueError(f"inverse converter left torch keys unset: {real_missing[:5]}")
+    tmodel.eval()
+    return tmodel
 
 
 def oracle_cam_fusion(tmodel, img, label: np.ndarray, scales):
@@ -231,11 +273,19 @@ def oracle_cam_fusion(tmodel, img, label: np.ndarray, scales):
 # --------------------------------------------------------------------------
 
 def gate1_cam_single(model, variables, tmodel, img, label, scales, out_side,
-                     engine_mode: str = "exact") -> dict:
-    """Config #1: single-image CAM parity (exact or fast engine path)."""
+                     engine_mode: str = "exact", tag: str = "") -> dict:
+    """Config #1: single-image CAM parity (exact or fast engine path).
+
+    tag: report-row suffix (e.g. '_trained' for the rows evaluated at the
+    gate-6 trained checkpoint, round-3 verdict item 4).  The trained rows
+    run the same 1e-3 score tolerance as the random-init rows: the 0.042
+    trained-row delta round 4 initially chased was the static-vs-dynamic
+    stride-2 padding mismatch (models/efficientnet._static_pad), not
+    float drift — fixed, measured 6e-8."""
     from muscle_tpu.inference import CamTTAEngine
 
     t0 = time.time()
+    score_tol = 1e-3
     want_cam, want_sgc, want_score = oracle_cam_fusion(tmodel, img, label, scales)
     if engine_mode == "exact":
         engine = CamTTAEngine(model, variables, scales=scales, out_side=out_side,
@@ -287,7 +337,7 @@ def gate1_cam_single(model, variables, tmodel, img, label, scales, out_side,
             m <= tol or rd <= raw_noise_budget for m, rd in zip(means, raw_deltas)
         )
     return {
-        "gate": f"1_cam_single_{engine_mode}",
+        "gate": f"1_cam_single_{engine_mode}{tag}",
         "max_abs_delta": max(deltas) if deltas else float("nan"),
         "mean_abs_delta": max(means) if means else float("nan"),
         "max_raw_delta": max(raw_deltas) if raw_deltas else float("nan"),
@@ -296,14 +346,18 @@ def gate1_cam_single(model, variables, tmodel, img, label, scales, out_side,
         "score_delta": score_delta,
         "tolerance": tol,
         "raw_noise_budget": raw_noise_budget,
-        "passed": bool(ok and score_delta <= 1e-3),
+        "passed": bool(ok and score_delta <= score_tol),
         "seconds": round(time.time() - t0, 1),
     }
 
 
 def gate2_cam_tta_miou(model, variables, tmodel, voc_root, names, labels,
-                       scales, out_side, out_dir, engine_mode: str = "fast") -> dict:
-    """Config #2: TTA CAM npy over a list, threshold-sweep mIoU vs oracle."""
+                       scales, out_side, out_dir, engine_mode: str = "fast",
+                       tag: str = "") -> dict:
+    """Config #2: TTA CAM npy over a list, threshold-sweep mIoU vs oracle.
+
+    tag: report-row suffix; also namespaces the npy output dirs so the
+    trained-checkpoint rows don't clobber the random-init artifacts."""
     from PIL import Image
 
     from muscle_tpu.data.voc12 import get_img_path
@@ -311,8 +365,8 @@ def gate2_cam_tta_miou(model, variables, tmodel, voc_root, names, labels,
     from muscle_tpu.inference import CamTTAEngine
 
     t0 = time.time()
-    ours_dir = os.path.join(out_dir, f"gate2_ours_{engine_mode}")
-    ref_dir = os.path.join(out_dir, "gate2_oracle")
+    ours_dir = os.path.join(out_dir, f"gate2_ours_{engine_mode}{tag}")
+    ref_dir = os.path.join(out_dir, f"gate2_oracle{tag}")
     os.makedirs(ours_dir, exist_ok=True)
     os.makedirs(ref_dir, exist_ok=True)
 
@@ -356,7 +410,7 @@ def gate2_cam_tta_miou(model, variables, tmodel, voc_root, names, labels,
             ]))
         )
     if not kept_names:
-        return {"gate": f"2_cam_tta_miou_{engine_mode}", "passed": False,
+        return {"gate": f"2_cam_tta_miou_{engine_mode}{tag}", "passed": False,
                 "error": "no well-conditioned oracle channels",
                 "seconds": round(time.time() - t0, 1)}
 
@@ -366,7 +420,7 @@ def gate2_cam_tta_miou(model, variables, tmodel, voc_root, names, labels,
     ref = max(r["mIoU"] for r in threshold_sweep(ref_dir, gt, kept_names, ths))
     delta = abs(ours - ref)
     return {
-        "gate": f"2_cam_tta_miou_{engine_mode}",
+        "gate": f"2_cam_tta_miou_{engine_mode}{tag}",
         "mIoU_ours": round(float(ours), 4),
         "mIoU_oracle": round(float(ref), 4),
         "mIoU_delta": round(float(delta), 4),
@@ -519,9 +573,114 @@ def gate3_irn_refine(voc_root, names, labels, cam_dir, out_dir,
     }
 
 
+def oracle_seg_fusion(tmodel, img, scales):
+    """The reference seg TTA fusion chain (infer_seg.py:88-117): per scale,
+    PIL BICUBIC resize (data.py:344-366 VOC12ClsDatasetMSF, unit=1), forward
+    cam='seg', softmax, cv2 half-pixel bilinear resize to original size,
+    unflip odd versions, MEAN over the versions.  cv2 is not on this box;
+    its bilinear resize is applied as the equivalent half-pixel interp
+    matmul (core/resize._interp_matrix, parity vs torch/cv2 semantics in
+    tests/test_resize.py).  Returns (C, H, W) mean softmax probs."""
+    import torch
+    from PIL import Image
+
+    from muscle_tpu.core.resize import _interp_matrix
+    from muscle_tpu.data import transforms as T
+
+    w, h = img.size
+    versions = []
+    for s in scales:
+        tw, th = round(w * s), round(h * s)
+        arr = T.color_norm(np.asarray(img.resize((tw, th), resample=Image.BICUBIC)))
+        for flip in (False, True):
+            a = arr[:, ::-1] if flip else arr
+            x = torch.from_numpy(a.transpose(2, 0, 1)[None].copy()).float()
+            with torch.no_grad():
+                seg, _ = tmodel(x, cam="seg")
+                p = torch.softmax(seg, dim=1)[0].numpy()
+            mh = _interp_matrix(p.shape[1], h, align_corners=False)
+            mw = _interp_matrix(p.shape[2], w, align_corners=False)
+            p = np.einsum("Hh,chw,Ww->cHW", mh, p, mw, optimize=True)
+            if flip:
+                p = p[:, :, ::-1]
+            versions.append(p)
+    return np.mean(versions, axis=0)
+
+
+def gate7_seg_tta(model, variables, tmodel, voc_root, names, out_dir, scales,
+                  out_side, max_side, engine_mode: str = "fast",
+                  tag: str = "") -> dict:
+    """Config #7 (round-3 verdict item 5a): seg-TTA fidelity — the full
+    b?+BiFPN seg inference chain (SegTTAEngine + dense CRF + argmax,
+    infer_seg.py:101-133) vs the torch oracle chain on the SAME weights.
+
+    Gated on the artifact (post-CRF pseudo-label mIoU delta <= 0.3, the
+    BASELINE contract) with the pre-CRF mean map delta and post-CRF pixel
+    agreement reported.  Both sides run the SAME native permutohedral CRF
+    (ops/exact_crf.py, the faithful pydensecrf counterpart) so the row
+    isolates the TTA/forward chain, not the CRF backend.
+
+    engine_mode 'fast' = the shipping config (device TTA, window-exact
+    canvases, accum_stride=4, f16 download, tight upload); 'exact' = host
+    PIL prep + stride-1 f32 accumulation (parity mode)."""
+    from PIL import Image
+
+    from muscle_tpu.data.voc12 import get_img_path
+    from muscle_tpu.evaluation import confusion_matrix, iou_from_confusion
+    from muscle_tpu.inference import SegTTAEngine
+    from muscle_tpu.ops.exact_crf import dense_crf
+
+    t0 = time.time()
+    if engine_mode == "exact":
+        engine = SegTTAEngine(model, variables, scales=scales, out_side=out_side,
+                              max_side=max_side, device_tta=False, accum_stride=1)
+    else:
+        engine = SegTTAEngine(model, variables, scales=scales, out_side=out_side,
+                              max_side=max_side, device_tta=True, accum_stride=4,
+                              download_dtype="float16", tight_upload=True)
+    imgs = [Image.open(get_img_path(n, voc_root)).convert("RGB") for n in names]
+    recs = engine.run_batch(imgs, names)
+    conf_ours = np.zeros((21, 21), np.int64)
+    conf_ref = np.zeros((21, 21), np.int64)
+    agree, map_deltas = [], []
+    classes_pred = set()  # degeneracy indicator: a random-init dec's argmax
+    # collapses to 1-2 classes (near-uniform softmax) — the '_trained' row
+    # is where the mIoU comparison carries class structure
+    for img, n, rec in zip(imgs, names, recs):
+        want = oracle_seg_fusion(tmodel, img, scales)  # (C, H, W)
+        got = rec["probs"].transpose(2, 0, 1).astype(np.float32)
+        map_deltas.append(float(np.abs(got - want).mean()))
+        orig = np.asarray(img)
+        got_crf = dense_crf(orig, np.ascontiguousarray(got), t=4)
+        want_crf = dense_crf(orig, np.ascontiguousarray(want.astype(np.float32)), t=4)
+        ours_lab = np.argmax(got_crf, axis=0).astype(np.uint8)
+        ref_lab = np.argmax(want_crf, axis=0).astype(np.uint8)
+        gt = np.array(Image.open(os.path.join(voc_root, "SegmentationClass", n + ".png")))
+        conf_ours += confusion_matrix(ours_lab, gt, 21)
+        conf_ref += confusion_matrix(ref_lab, gt, 21)
+        agree.append(float((ours_lab == ref_lab).mean()))
+        classes_pred.update(np.unique(ours_lab).tolist())
+    miou_ours = iou_from_confusion(conf_ours)["mIoU"]
+    miou_ref = iou_from_confusion(conf_ref)["mIoU"]
+    delta = abs(miou_ours - miou_ref)
+    return {
+        "gate": f"7_seg_tta_miou_{engine_mode}{tag}",
+        "mIoU_ours": round(float(miou_ours), 4),
+        "mIoU_oracle": round(float(miou_ref), 4),
+        "mIoU_delta": round(float(delta), 4),
+        "pixel_agreement": round(float(np.mean(agree)), 4),
+        "mean_map_delta": round(float(np.mean(map_deltas)), 7),
+        "classes_predicted": len(classes_pred),
+        "tolerance": 0.3,
+        "passed": bool(delta <= 0.3),
+        "seconds": round(time.time() - t0, 1),
+    }
+
+
 def _mcl_grad_norm_liveness(voc_root, names, labels, checkpoint: str,
                             crop: int = 64,
-                            backbone: str = "efficientnet-b1") -> dict:
+                            backbone: str = "efficientnet-b1",
+                            method: str = "jacrev") -> dict:
     """Per-term gradient-norm liveness at the gate-4 TRAINED checkpoint
     (ALL curriculum terms enabled): a term whose value is tiny can still
     train, and a term whose value is O(1) can be a stop-gradient corpse —
@@ -569,17 +728,25 @@ def _mcl_grad_norm_liveness(voc_root, names, labels, checkpoint: str,
     # train-mode BN so the verdict reflects the graph, not BN calibration
     return mcl_term_grad_norms(
         model, state, batch, jax.random.key(1), MCLConfig(True, True, True),
-        views_train_mode=True,
+        views_train_mode=True, method=method,
     )
 
 
 def gate4_train_mcl(voc_root, names, labels_path, out_dir, steps: int = 100,
-                    backbone: str = "efficientnet-b1", crop: int = 64) -> dict:
+                    backbone: str = "efficientnet-b1", crop: int = 64,
+                    min_decrease: float = 0.20, quick: bool = False) -> dict:
     """Config #4: MCL memorisation gate — `steps` batches over 2 images must
-    MATERIALLY reduce the loss (>= 20%, first-3-median to last-10-median),
-    and every curriculum loss term must have a live parameter gradient.
-    Matches the reference's training contract (train_mcl.py:152-229: the
-    losses exist to move), not merely 'runs without NaN'."""
+    MATERIALLY reduce the loss (>= min_decrease, first-3-median to
+    last-10-median), and every curriculum loss term must have a live
+    parameter gradient.  Matches the reference's training contract
+    (train_mcl.py:152-229: the losses exist to move), not merely 'runs
+    without NaN'.
+
+    quick (cli/gates.py --quick): ~30 steps — a regression canary asserting
+    finiteness + per-term grad liveness + checkpointing; the loss DECREASE
+    is reported but not asserted (measured: 30 steps at the memorisation lr
+    is inside warmup noise, -5.1%..+noise).  The full tier (steps=100,
+    >= 20% decrease) is the evidence tier."""
     from muscle_tpu.cli import train_mcl
 
     import shutil
@@ -595,8 +762,14 @@ def gate4_train_mcl(voc_root, names, labels_path, out_dir, steps: int = 100,
     with open(list_path, "w") as f:
         for i in range(steps * 2):
             f.write(names[i % 2] + "\n")
+    # the epoch-end rapid eval (train_mcl._rapid_eval) iterates the eval
+    # list verbatim — hand it the two UNIQUE names, not the repeated train
+    # list (steps x duplicated TTA evals added ~minutes for zero signal)
+    eval_path = os.path.join(out_dir, "gate4_eval_list.txt")
+    with open(eval_path, "w") as f:
+        f.write(names[0] + "\n" + names[1] + "\n")
     train_mcl.main([
-        "--train_list", list_path, "--eval_list", list_path,
+        "--train_list", list_path, "--eval_list", eval_path,
         "--voc12_root", voc_root, "--cls_labels", labels_path,
         "--session_name", session, "--log_dir", logd,
         "--backbone", backbone, "--batch_size", "2", "--max_epoches", "1",
@@ -616,18 +789,21 @@ def gate4_train_mcl(voc_root, names, labels_path, out_dir, steps: int = 100,
     losses = [r["loss"] for r in rows]
     loss_first = float(np.median(losses[:3]))
     loss_last = float(np.median(losses[-10:]))
-    decreased = loss_last <= 0.8 * loss_first
+    decreased = loss_last <= (1.0 - min_decrease) * loss_first
     finite = all(np.isfinite(v) for r in rows for k, v in r.items() if k != "step")
     grad_norms = _mcl_grad_norm_liveness(
         voc_root, names, np.load(labels_path, allow_pickle=True).item(),
         os.path.join(session, "model_0.msgpack"), crop=crop, backbone=backbone,
+        method="jvp" if quick else "jacrev",
     )
-    grads_live = all(np.isfinite(v) and v > 1e-7 for v in grad_norms.values())
+    live_floor = 1e-12 if quick else 1e-7  # jvp: any nonzero = live
+    grads_live = all(np.isfinite(v) and v > live_floor for v in grad_norms.values())
     vis_dir = os.path.join(logd, "vis")
     vis = os.listdir(vis_dir) if os.path.isdir(vis_dir) else []
     return {
         "gate": "4_train_mcl_memorise",
         "steps": steps,
+        "min_decrease_pct": round(100.0 * min_decrease, 1),
         "loss_first": round(loss_first, 4),
         "loss_last": round(loss_last, 4),
         "loss_decrease_pct": round(100.0 * (1.0 - loss_last / loss_first), 1),
@@ -636,8 +812,9 @@ def gate4_train_mcl(voc_root, names, labels_path, out_dir, steps: int = 100,
         "grads_live": bool(grads_live),
         "checkpoint": os.path.exists(os.path.join(session, "model_0.msgpack")),
         "vis_pngs": len(vis),
+        "quick": bool(quick),
         "passed": bool(
-            finite and decreased and grads_live
+            finite and grads_live and (quick or decreased)
             and os.path.exists(os.path.join(session, "model_0.msgpack"))
         ),
         "seconds": round(time.time() - t0, 1),
@@ -645,7 +822,8 @@ def gate4_train_mcl(voc_root, names, labels_path, out_dir, steps: int = 100,
 
 
 def gate6_convergence(voc_root, names, labels_path, out_dir, steps: int = 300,
-                      crop: int = 64, backbone: str = "efficientnet-b1") -> dict:
+                      crop: int = 64, backbone: str = "efficientnet-b1",
+                      quick: bool = False) -> dict:
     """Config #6 (round-2 verdict item 7): END-TO-END convergence evidence.
 
     (a) MCL: train `steps` batches on the structured synthetic VOC and
@@ -728,6 +906,14 @@ def gate6_convergence(voc_root, names, labels_path, out_dir, steps: int = 300,
         state, m = mcl_train_step(model, tx, state, batch, r1, cfg)
     trained = {"params": state.params, "batch_stats": state.batch_stats}
     miou_cam_final = cam_miou(model, trained, "final")
+    # persist the trained states: the runner feeds them back through the
+    # fidelity gates (1/2/7 '_trained' rows — round-3 verdict item 4: the
+    # 0.3 budget exercised on structured, class-separated maps, like the
+    # reference's in-training eval of TRAINED CAMs, train_mcl.py:286-318)
+    import flax.serialization
+
+    with open(os.path.join(out_dir, "gate6_enc.msgpack"), "wb") as f:
+        f.write(flax.serialization.to_bytes(trained))
 
     # ---- (b) seg: val mIoU before/after ------------------------------------
     def seg_miou(model, variables):
@@ -771,6 +957,8 @@ def gate6_convergence(voc_root, names, labels_path, out_dir, steps: int = 300,
         seg_state, m = seg_train_step(dec, tx_seg, seg_state, batch_s, r1, scfg)
     trained_dec = {"params": seg_state.params, "batch_stats": seg_state.batch_stats}
     miou_seg_final = seg_miou(dec, trained_dec)
+    with open(os.path.join(out_dir, "gate6_dec.msgpack"), "wb") as f:
+        f.write(flax.serialization.to_bytes(trained_dec))
 
     return {
         "gate": "6_convergence",
@@ -779,22 +967,34 @@ def gate6_convergence(voc_root, names, labels_path, out_dir, steps: int = 300,
         "cam_miou_final": round(float(miou_cam_final), 4),
         "seg_miou_init": round(float(miou_seg_init), 4),
         "seg_miou_final": round(float(miou_seg_final), 4),
+        "quick": bool(quick),
         "passed": bool(
-            miou_cam_final > miou_cam_init + 1.0
             # a 300-step random-init seg head reaches only a few mIoU
             # points absolute on the 4-image synthetic val (measured
             # 0.08 -> 3.97); require a material gain in both absolute
             # (+2 points) and relative (3x) terms rather than the
-            # trained-regime +5 absolute
-            and miou_seg_final > miou_seg_init + 2.0
-            and miou_seg_final > 3.0 * miou_seg_init
+            # trained-regime +5 absolute.  The quick tier (fewer steps,
+            # cli/gates.py --quick) is a regression canary, not the
+            # evidence tier: the seg branch must improve materially (it
+            # does decisively by 100 steps; measured 0.006 -> 3.97), while
+            # the CAM branch — whose convergence knee sits past ~150 steps
+            # (measured 3.97 -> 3.67 at 100, -> 5.61 at 300) — must only
+            # not COLLAPSE (> half the conditioned-oracle init floor).
+            (np.isfinite(miou_cam_final)
+             and miou_cam_final > 0.5 * miou_cam_init
+             and miou_seg_final > miou_seg_init + 1.0
+             and miou_seg_final > 2.0 * miou_seg_init)
+            if quick else
+            (miou_cam_final > miou_cam_init + 1.0
+             and miou_seg_final > miou_seg_init + 2.0
+             and miou_seg_final > 3.0 * miou_seg_init)
         ),
         "seconds": round(time.time() - t0, 1),
     }
 
 
 def _seg_grad_norm_liveness(voc_root, names, labels, mask_dir, checkpoint: str,
-                            crop: int = 64) -> dict:
+                            crop: int = 64, method: str = "jacrev") -> dict:
     """Per-term (CE, BEACON) gradient-norm liveness at the gate-5 trained
     checkpoint — see _mcl_grad_norm_liveness."""
     import jax
@@ -837,16 +1037,25 @@ def _seg_grad_norm_liveness(voc_root, names, labels, mask_dir, checkpoint: str,
         "mask": np.stack(masks).astype(np.float32),
     }
     return seg_term_grad_norms(
-        model, state, batch, jax.random.key(1), SegConfig(k=32)
+        model, state, batch, jax.random.key(1), SegConfig(k=32), method=method
     )
 
 
 def gate5_train_muscle(voc_root, names, labels_path, out_dir, steps: int = 100,
-                       crop: int = 64) -> dict:
+                       crop: int = 64, min_decrease: float = 0.20,
+                       quick: bool = False) -> dict:
     """Config #5: seg memorisation gate (CE + BEACON on GT-aligned soft
-    pseudo-masks) + a CRF'd val eval — the loss must fall >= 20% over
-    `steps` batches of 2 images and both loss terms must carry live
-    parameter gradients (reference contract: train_muscle.py:168-203)."""
+    pseudo-masks) + a CRF'd val eval — the loss must fall >= min_decrease
+    over `steps` batches of 2 images and both loss terms must carry live
+    parameter gradients (reference contract: train_muscle.py:168-203).
+
+    quick: BEACON liveness is reported but not asserted — the term
+    contributes only when predicted boundaries exist (> k valid boundary
+    pixels per (batch, class), reference edge.py:297-316), and whether
+    the FINAL checkpoint yields boundaries on the fixed probe batch is
+    step-count dependent (measured: probe grad 0.0 at 30 steps, 0.76 at
+    100 — even when some training step transiently engaged the term).
+    The full tier asserts both terms."""
     from PIL import Image
 
     from muscle_tpu.cli import train_muscle
@@ -883,8 +1092,11 @@ def gate5_train_muscle(voc_root, names, labels_path, out_dir, steps: int = 100,
     with open(list_path, "w") as f:
         for i in range(steps * 2):
             f.write(names[i % 2] + "\n")
+    eval_path = os.path.join(out_dir, "gate5_eval_list.txt")  # see gate 4
+    with open(eval_path, "w") as f:
+        f.write(names[0] + "\n" + names[1] + "\n")
     train_muscle.main([
-        "--train_list", list_path, "--eval_list", list_path,
+        "--train_list", list_path, "--eval_list", eval_path,
         "--voc12_root", voc_root, "--cls_labels", labels_path,
         "--mask_root", mask_dir, "--session_name", session, "--log_dir", logd,
         "--pretrained", "b1", "--bifpn", "1", "--batch_size", "2",
@@ -899,16 +1111,24 @@ def gate5_train_muscle(voc_root, names, labels_path, out_dir, steps: int = 100,
     losses = [r["loss"] for r in rows]
     loss_first = float(np.median(losses[:3]))
     loss_last = float(np.median(losses[-10:]))
-    decreased = loss_last <= 0.8 * loss_first
+    decreased = loss_last <= (1.0 - min_decrease) * loss_first
     finite = all(np.isfinite(v) for r in rows for k, v in r.items() if k != "step")
     grad_norms = _seg_grad_norm_liveness(
         voc_root, names, np.load(labels_path, allow_pickle=True).item(),
         mask_dir, os.path.join(session, "model_0.msgpack"), crop=crop,
+        method="jvp" if quick else "jacrev",
     )
-    grads_live = all(np.isfinite(v) and v > 1e-7 for v in grad_norms.values())
+    # quick: beacon liveness reported, not asserted (see docstring)
+    beacon_engaged = any(abs(r.get("loss_beacon", 0.0)) > 1e-9 for r in rows)
+    required = {"seg"} if quick else set(grad_norms)
+    live_floor = 1e-12 if quick else 1e-7  # jvp: any nonzero = live
+    grads_live = all(
+        np.isfinite(grad_norms[k]) and grad_norms[k] > live_floor for k in required
+    )
     return {
         "gate": "5_train_muscle_memorise",
         "steps": steps,
+        "min_decrease_pct": round(100.0 * min_decrease, 1),
         "loss_first": round(loss_first, 4),
         "loss_last": round(loss_last, 4),
         "loss_decrease_pct": round(100.0 * (1.0 - loss_last / loss_first), 1),
@@ -916,7 +1136,9 @@ def gate5_train_muscle(voc_root, names, labels_path, out_dir, steps: int = 100,
         "finite": bool(finite),
         "grad_norms": {k: float(f"{v:.3e}") for k, v in grad_norms.items()},
         "grads_live": bool(grads_live),
+        "beacon_engaged": bool(beacon_engaged),
         "checkpoint": os.path.exists(os.path.join(session, "model_0.msgpack")),
+        "quick": bool(quick),
         "passed": bool(
             finite and decreased and grads_live
             and os.path.exists(os.path.join(session, "model_0.msgpack"))
