@@ -230,3 +230,60 @@ def test_dryrun_multichip_trains():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+@pytest.mark.slow
+def test_weak_scaling_program_property():
+    """Weak-scaling backing for the x8 bench projection (round-3 verdict
+    item 8, SURVEY §2.5a): the 8-device data-parallel MCL step must run
+    the SAME total compute as the single-device step on the same global
+    batch (hidden replication would inflate FLOPs), and its only
+    cross-device traffic may be the gradient all-reduce plus the small
+    IMC embedding gather — no activation-sized all-gathers.  Deterministic
+    compiled-program inspection; the wall-clock companion rows live in
+    tools/weak_scaling.py + STATUS.md."""
+    import re
+
+    from muscle_tpu.models import MuSCLe
+    from muscle_tpu.training import MCLConfig, create_train_state, mcl_train_step
+    from muscle_tpu.training.state import make_adam
+
+    crop, bs = 48, 8
+    model = MuSCLe(backbone_name="efficientnet-b1", mode="enc", last_pooling=False)
+    rng = jax.random.key(0)
+    variables = model.init({"params": rng}, jnp.zeros((1, crop, crop, 3)), mode="cam")
+    tx = make_adam(1e-4, 5e-5)
+    cfg = MCLConfig(use_imc=True)
+    rng_np = np.random.default_rng(0)
+    label = np.zeros((bs, 20), np.float32)
+    label[np.arange(bs), np.arange(bs) % 20] = 1.0
+    batch = {
+        "img": rng_np.normal(size=(bs, crop, crop, 3)).astype(np.float32),
+        "label": label,
+    }
+
+    def flops_of(lowered):
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost["flops"]), lowered.compile().as_text()
+
+    state1 = create_train_state(variables, tx)
+    f1, _ = flops_of(mcl_train_step.lower(
+        model, tx, state1, jax.tree.map(jnp.asarray, batch), rng, cfg))
+
+    mesh = make_mesh()
+    with mesh:
+        state8 = replicate(mesh, create_train_state(variables, tx))
+        sb = shard_batch(mesh, batch)
+        f8, hlo = flops_of(mcl_train_step.lower(model, tx, state8, sb, rng, cfg))
+
+    # same global batch => same compute; allow 15% for partitioner fusion
+    # differences, none for per-device replication (that would be ~8x)
+    assert f8 <= 1.15 * f1, (f8, f1)
+    assert "all-reduce" in hlo  # the gradient psum exists
+    # any all-gather must be small (IMC embeddings, O(B*C)), never an
+    # activation/gradient-sized tensor
+    for shape in re.findall(r"= \w+\[([\d,]*)\][^=]*all-gather", hlo):
+        n = int(np.prod([int(d) for d in shape.split(",") if d]))
+        assert n <= 1_000_000, f"activation-sized all-gather: [{shape}]"
