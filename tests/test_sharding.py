@@ -1,5 +1,7 @@
 """Multi-chip sharding tests on the 8-device virtual CPU mesh."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -227,9 +229,32 @@ def test_shard_spatial_requires_model_axis():
 
 @pytest.mark.slow
 def test_dryrun_multichip_trains():
-    import __graft_entry__ as g
+    """Runs the driver's multichip check exactly as the driver does: a
+    fresh torch-free subprocess on a forced 8-device CPU mesh.  In-process
+    execution under pytest segfaulted twice inside jaxlib's compile-cache
+    serialize (put_executable_and_time) when torch was co-loaded — the
+    subprocess isolates that and is the more faithful contract anyway."""
+    import subprocess
+    import sys
 
-    g.dryrun_multichip(8)
+    env = dict(os.environ)
+    env.update(
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=8",
+        OMP_NUM_THREADS="1",
+        MKL_NUM_THREADS="1",
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multichip(8)"],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env, capture_output=True, text=True, timeout=1800,
+    )
+    assert proc.returncode == 0, (
+        f"dryrun_multichip(8) subprocess failed rc={proc.returncode}\n"
+        f"stdout tail:\n{proc.stdout[-2000:]}\nstderr tail:\n{proc.stderr[-2000:]}"
+    )
+    assert "done" in proc.stdout
 
 
 @pytest.mark.slow
