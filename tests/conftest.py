@@ -24,6 +24,15 @@ jax.config.update("jax_num_cpu_devices", 8)
 # Parity tests compare against float32 torch; the default (fast) matmul
 # precision quantises conv/einsum inputs noticeably on this backend.
 jax.config.update("jax_default_matmul_precision", "highest")
+# JAX 0.9 enables the persistent compilation cache BY DEFAULT (default dir,
+# no repo code involved), and cache-entry *serialization* from a process
+# with torch co-loaded segfaults jaxlib intermittently (observed three
+# times: twice in the in-process dryrun [put_executable_and_time frame],
+# once at 94% of a full-suite run).  Keep cache READS (warm compiles) but
+# push writes out of reach for the whole pytest process.  Subprocesses
+# started by tests (e.g. the driver-faithful dryrun) are torch-free and
+# manage their own cache via muscle_tpu.utils.compile_cache.
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
 
 assert jax.default_backend() == "cpu", (
     "tests must run on the virtual CPU mesh; a backend initialised before "
