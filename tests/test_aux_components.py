@@ -181,3 +181,24 @@ def test_get_indices_of_pairs_orient_bins():
     assert by_off[(1, 0)] == 1  # pi/2
     assert by_off[(1, -1)] == 2  # 3pi/4
     assert set(bins) <= set(range(8))
+
+
+def test_pytest_disables_persistent_cache_writes():
+    """Guard for the conftest cache-write kill switch.
+
+    jax 0.9 enables the persistent compilation cache by default, and
+    cache-entry serialization with torch co-loaded segfaults jaxlib
+    intermittently (CLAUDE.md).  conftest must keep writes out of reach
+    for the whole pytest process; compile_cache.enable(readonly=True)
+    must preserve that even if a test routes through it.
+    """
+    assert jax.config.jax_persistent_cache_min_compile_time_secs >= 1e9
+
+    from muscle_tpu.utils.compile_cache import enable
+
+    prior_dir = jax.config.jax_compilation_cache_dir
+    try:
+        enable(readonly=True)
+        assert jax.config.jax_persistent_cache_min_compile_time_secs >= 1e9
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prior_dir)
