@@ -11,6 +11,27 @@ import os
 
 DEFAULT_DIR = os.path.join(os.path.dirname(__file__), "..", "..", ".jax_cache")
 
+_CODEGEN_FLAG = "--xla_cpu_parallel_codegen_split_count=1"
+
+
+def serialize_cpu_codegen() -> None:
+    """Disable XLA:CPU parallel codegen for this process (must run before
+    the first backend touch — XLA parses XLA_FLAGS at client creation).
+
+    XLA:CPU splits each module into parts JIT-compiled on a thread pool.
+    In processes that co-load torch, the big-module compile segfaults
+    jaxlib intermittently (observed 4x: tests/conftest.py history; the
+    latest at tests/test_training.py::test_seg_train_step_runs inside
+    `backend.compile_and_load` — torch ships its own LLVM/OpenMP runtimes,
+    and parallel codegen multiplies the cross-runtime exposure).  On the
+    1-vCPU hosts that run the CPU tiers, parallel codegen buys nothing,
+    so the torch-coloaded entry points (pytest, gate harness, A/B tools)
+    serialize it.
+    """
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_cpu_parallel_codegen_split_count" not in flags:
+        os.environ["XLA_FLAGS"] = (flags + " " + _CODEGEN_FLAG).strip()
+
 
 def enable(cache_dir: str | None = None, readonly: bool | None = None) -> None:
     """Point XLA's persistent cache at the repo cache dir.

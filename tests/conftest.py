@@ -17,6 +17,15 @@ import os
 os.environ.setdefault("OMP_NUM_THREADS", "1")
 os.environ.setdefault("MKL_NUM_THREADS", "1")
 
+# Serialize XLA:CPU codegen BEFORE any backend touch: big-module compiles
+# with torch co-loaded segfault jaxlib intermittently (4th observation at
+# test_training.py::test_seg_train_step_runs, 2026-08-20, crash INSIDE
+# backend.compile_and_load — distinct from the cache-write serialize crash
+# handled below).  See utils/compile_cache.serialize_cpu_codegen.
+from muscle_tpu.utils.compile_cache import serialize_cpu_codegen
+
+serialize_cpu_codegen()
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")

@@ -202,3 +202,24 @@ def test_pytest_disables_persistent_cache_writes():
         assert jax.config.jax_persistent_cache_min_compile_time_secs >= 1e9
     finally:
         jax.config.update("jax_compilation_cache_dir", prior_dir)
+
+
+def test_pytest_serializes_cpu_codegen():
+    """Guard for the conftest XLA:CPU codegen serialization.
+
+    Big-module XLA:CPU compiles with torch co-loaded segfault jaxlib
+    intermittently INSIDE backend.compile_and_load (4th observation
+    2026-08-20 at test_seg_train_step_runs) — distinct from the
+    cache-write serialize crash above.  conftest must pin the parallel
+    codegen split to 1 before the backend initialises (XLA parses
+    XLA_FLAGS at client creation), and serialize_cpu_codegen must not
+    stack duplicate flags when called again.
+    """
+    import os
+
+    from muscle_tpu.utils.compile_cache import _CODEGEN_FLAG, serialize_cpu_codegen
+
+    flags = os.environ.get("XLA_FLAGS", "")
+    assert _CODEGEN_FLAG in flags
+    serialize_cpu_codegen()  # idempotent
+    assert os.environ["XLA_FLAGS"].count("xla_cpu_parallel_codegen_split_count") == 1

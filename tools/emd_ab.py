@@ -33,6 +33,10 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
 
+from muscle_tpu.utils.compile_cache import serialize_cpu_codegen  # noqa: E402
+
+serialize_cpu_codegen()  # torch-coloaded process (see compile_cache docstring)
+
 
 def make_views(s_instances, hv, c, seed=0):
     """Smooth, class-structured view pairs + overlap coords — softmaxed and
