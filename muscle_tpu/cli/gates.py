@@ -20,7 +20,7 @@ Two-tier harness (round-3 verdict item 6):
 
 Gate keys (--gates): 1/1f single-image CAM exact/fast, 2/2e TTA CAM mIoU
 fast/exact, 3 walk refinement, 4/5 memorisation, 6 convergence, 7/7e
-seg-TTA mIoU fast/exact, t = '_trained' rows (gates 1/1f/2/7 re-run with
+seg-TTA mIoU fast/exact, t = '_trained' rows (gates 1/1f/2/3/7 re-run with
 the gate-6 trained checkpoints fed back through the torch oracle via the
 inverse converter).
 
@@ -80,6 +80,12 @@ def main(argv=None) -> None:
     args = p.parse_args(argv)
 
     import numpy as np
+
+    from muscle_tpu.utils.compile_cache import serialize_cpu_codegen
+
+    # torch-coloaded process: serialize XLA:CPU codegen before the first
+    # backend touch (intermittent jaxlib compile segfault otherwise)
+    serialize_cpu_codegen()
 
     import jax
 
@@ -266,6 +272,15 @@ def main(argv=None) -> None:
                                       names, labels, scales, out_side,
                                       args.out_dir, engine_mode="fast",
                                       tag="_trained"))
+            # gate-3 trained row (verdict item 4 names gates 1/2/3): walk
+            # fidelity on the structured CAMs the trained row just wrote
+            cam_dir_t = os.path.join(args.out_dir, "gate2_ours_fast_trained")
+            if os.path.isdir(cam_dir_t):
+                emit(G.gate3_irn_refine(
+                    voc_root, names, labels, cam_dir_t, args.out_dir,
+                    weights=args.irn_weights,
+                    oracle_method="vector" if args.full_size else "square",
+                    tag="_trained"))
             if os.path.exists(dec_ckpt):
                 dec_model = MuSCLe(backbone_name=tb, mode="dec",
                                    bifpn_layers=1, last_pooling=True)

@@ -472,13 +472,19 @@ def oracle_propagate_vector(ref_indexing, x, edge, radius=5, beta=8, exp_times=6
 
 def gate3_irn_refine(voc_root, names, labels, cam_dir, out_dir,
                      weights: str | None = None, seed: int = 0,
-                     oracle_method: str = "square") -> dict:
+                     oracle_method: str = "square", tag: str = "") -> dict:
     """Config #3: random-walk refinement -> hard pseudo-label mIoU, ours vs
     the torch oracle chain (infer_irn.py:62-100) on the same weights.
 
     oracle_method: 'square' = the reference's literal matrix-squaring code;
     'vector' = the same linear map by vector iteration (full-size runs —
-    see oracle_propagate_vector)."""
+    see oracle_propagate_vector).
+
+    tag: report-row suffix; '_trained' runs the walk on the CAM npys the
+    gate-2 trained row produced (structured, class-separated inputs from
+    the gate-6 checkpoint) instead of random-init maps — the edge net
+    stays at the same seeded init on BOTH sides (gate 6 does not train an
+    IRN; the gate measures walk fidelity, not pseudo-label quality)."""
     import torch
     import torch.nn.functional as F
     from PIL import Image
@@ -562,7 +568,7 @@ def gate3_irn_refine(voc_root, names, labels, cam_dir, out_dir,
     miou_ref = iou_from_confusion(conf_ref)["mIoU"]
     delta = abs(miou_ours - miou_ref)
     return {
-        "gate": "3_irn_refine_miou",
+        "gate": f"3_irn_refine_miou{tag}",
         "mIoU_ours": round(float(miou_ours), 4),
         "mIoU_oracle": round(float(miou_ref), 4),
         "mIoU_delta": round(float(delta), 4),
