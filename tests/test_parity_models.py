@@ -299,3 +299,68 @@ def test_muscle_converter_inverse_roundtrip(mode):
         k.endswith("num_batches_tracked") or k.startswith(dead)
         for k in res.missing_keys
     )
+
+
+def test_weights_url_turnkey_http(tmp_path, monkeypatch, rng):
+    """End-to-end rehearsal of the published-checkpoint operational mode
+    over a REAL http hop: a torch-saved MuSCLe .pth served by a localhost
+    HTTP server, loaded with load_model_variables("http://..."), must equal
+    the direct local-path load leaf-for-leaf and drive a finite forward.
+    This is the turnkey path a reference user hits first (reference
+    infer_mcl.py:76-79 weights load; efficientnet_pytorch/utils.py:312-322
+    url download) — exercised here with the full download+cache+convert+
+    merge chain, not just fetch_weights."""
+    import functools
+    import http.server
+    import threading
+
+    import flax
+
+    from muscle_tpu.cli.common import load_model_variables
+
+    torch.manual_seed(11)
+    tmodel = src.MuSCLe(
+        num_classes=21, pretrained="efficientnet-b1", layers=1,
+        MemoryEfficient=True, last_pooling=False, mode="enc",
+    )
+    torch.save(tmodel.state_dict(), tmp_path / "mcl_b1.pth")
+
+    handler = functools.partial(
+        http.server.SimpleHTTPRequestHandler, directory=str(tmp_path)
+    )
+    httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        monkeypatch.setenv("MUSCLE_TPU_CACHE", str(tmp_path / "cache"))
+        model = MuSCLe(
+            backbone_name="efficientnet-b1", bifpn_layers=1,
+            mode="enc", last_pooling=False,
+        )
+        url = f"http://127.0.0.1:{httpd.server_address[1]}/mcl_b1.pth"
+        via_url = load_model_variables(url, model, (1, 64, 64, 3), "cam")
+        direct = load_model_variables(
+            str(tmp_path / "mcl_b1.pth"), model, (1, 64, 64, 3), "cam"
+        )
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+    flat_url = flax.traverse_util.flatten_dict(via_url)
+    flat_direct = flax.traverse_util.flatten_dict(direct)
+    assert set(flat_url) == set(flat_direct)
+    for k, v in flat_url.items():
+        np.testing.assert_array_equal(
+            np.asarray(v), np.asarray(flat_direct[k]), err_msg="/".join(k)
+        )
+
+    x = rng.normal(size=(1, 3, 64, 64)).astype(np.float32)
+    fcam, _, _, flogits = model.apply(
+        via_url, jnp.asarray(x.transpose(0, 2, 3, 1)), mode="cam"
+    )
+    assert np.isfinite(np.asarray(fcam)).all()
+    tmodel.eval()
+    with torch.no_grad():
+        _, _, _, tlogits = tmodel(torch.from_numpy(x), cam="cam")
+    np.testing.assert_allclose(
+        np.asarray(flogits), tlogits.numpy(), atol=2e-4, rtol=1e-3
+    )
