@@ -32,9 +32,21 @@ single-H100 estimate.
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
+
+_T0 = time.monotonic()
+
+
+def _note(msg: str) -> None:
+    """Progress to stderr (stdout stays the single driver-parsed JSON line).
+
+    The setup phase compiles five device programs — minutes each on a
+    cache-cold host — and a silent stall is indistinguishable from a hang
+    without these lines."""
+    print(f"[bench +{time.monotonic() - _T0:5.0f}s] {msg}", file=sys.stderr, flush=True)
 
 H100_CAM_IMGS_PER_SEC = 25.0  # estimate, BASELINE.md (batch-1 torch TTA x8)
 H100_SEG_IMGS_PER_SEC = 4.0  # estimate, BASELINE.md (12 batch-1 b7 fwds/img)
@@ -522,20 +534,69 @@ class CurriculumBench(TrainBench):
         return out
 
 
+def _device_watchdog() -> None:
+    """Bound device *initialisation* (not compiles) so a wedged relay
+    yields an honest JSON error line instead of an eternal hang.
+
+    The axon chip sits behind a socket relay that has been observed to
+    wedge hard: ``jax.devices()`` itself blocks forever, before any
+    compile starts (2026-08-20, this host — an 18-minute bench run never
+    completed its first RPC and a standalone ``jax.devices()`` probe hung
+    >100 s).  jax calls cannot be interrupted from Python, so the probe
+    runs in a daemon thread and the main thread waits with a timeout
+    (``MUSCLE_BENCH_INIT_TIMEOUT`` seconds, default 300 — device init is
+    seconds when the relay is healthy; compiles happen later and are NOT
+    under this clock).  On timeout the driver still gets its one JSON
+    line, with ``error`` set, matching the per-metric error shape below.
+    """
+    import os
+    import threading
+
+    timeout = float(os.environ.get("MUSCLE_BENCH_INIT_TIMEOUT", "300"))
+    ok = threading.Event()
+
+    def probe() -> None:
+        import jax
+        import jax.numpy as jnp
+
+        jax.devices()
+        float(jnp.arange(8.0).sum())  # one tiny op end-to-end
+        ok.set()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout)
+    if not ok.is_set():
+        _note(f"device init did not complete in {timeout:.0f}s — emitting "
+              "error line and exiting")
+        print(json.dumps({
+            "metric": CamBench.name,
+            "error": f"device init timed out after {timeout:.0f}s "
+                     "(axon relay unreachable)",
+            "extra_metrics": [],
+        }))
+        os._exit(0)
+    _note("device init ok")
+
+
 def main() -> None:
     from muscle_tpu.utils.compile_cache import enable
 
     enable()  # XLA compiles take minutes on small hosts; cache persists them
+    _device_watchdog()
 
     benches = [CamBench(), SegBench(), RefineBench(), TrainBench(), CurriculumBench()]
     results: dict[str, dict] = {}
     alive = []
     for b in benches:
         try:
+            _note(f"setup {b.name} ...")
             b.setup()
             alive.append(b)
+            _note(f"setup {b.name} ok")
         except Exception as e:  # never lose the other metrics
             results[b.name] = {"metric": b.name, "error": f"{type(e).__name__}: {e}"}
+            _note(f"setup {b.name} FAILED: {type(e).__name__}: {e}")
     # interleave measurement windows round-robin so link congestion hits
     # every metric equally (value = per-metric median over its windows)
     for phase, n in (("wall_window", WINDOWS), ("device_window", DEVICE_WINDOWS)):
@@ -543,11 +604,14 @@ def main() -> None:
             for b in list(alive):
                 try:
                     getattr(b, phase)(wnd)
+                    _note(f"{phase} {wnd + 1}/{n} {b.name} ok")
                 except Exception as e:
                     results[b.name] = {
                         "metric": b.name, "error": f"{type(e).__name__}: {e}"
                     }
                     alive.remove(b)
+                    _note(f"{phase} {wnd + 1}/{n} {b.name} FAILED: "
+                          f"{type(e).__name__}: {e}")
     for b in alive:
         if b.name not in results:
             try:
