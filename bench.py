@@ -19,6 +19,14 @@ box is a shared socket relay with heavy run-to-run variance, so
     cannot touch.  wall <= device_only means the stream is link-bound,
     not compute-bound.
 
+Relay-wedge survival (round-4 verdict item 1): invoked plainly
+(``python bench.py``) this file is a retry ORCHESTRATOR — each attempt
+runs in a fresh ``--worker`` subprocess (the wedge blocks processes, not
+the host), bounded by a per-attempt init watchdog and a stall detector,
+retried until one lands a full metric line or the total budget
+(``MUSCLE_BENCH_TOTAL_BUDGET``, default 3000 s) runs out; final failure
+emits the error line PLUS a ``last_known_good`` block with provenance.
+
 Anchors: the reference publishes no numbers (BASELINE.md), and no CUDA
 hardware is reachable from this environment, so every `vs_baseline` is
 against a DOCUMENTED ESTIMATE of the reference pipeline on one H100
@@ -544,42 +552,58 @@ def _device_watchdog() -> None:
     completed its first RPC and a standalone ``jax.devices()`` probe hung
     >100 s).  jax calls cannot be interrupted from Python, so the probe
     runs in a daemon thread and the main thread waits with a timeout
-    (``MUSCLE_BENCH_INIT_TIMEOUT`` seconds, default 300 — device init is
-    seconds when the relay is healthy; compiles happen later and are NOT
-    under this clock).  On timeout the driver still gets its one JSON
-    line, with ``error`` set, matching the per-metric error shape below.
+    (``MUSCLE_BENCH_INIT_TIMEOUT`` seconds — device init is seconds when
+    the relay is healthy; compiles happen later and are NOT under this
+    clock).  On failure the caller still gets one JSON line on stdout,
+    with ``error`` set, and the process exits **rc=2** so the retry
+    orchestrator (``main``) can key off the exit code; a probe exception
+    (backend absent, connection refused) is reported as itself, not as a
+    timeout.
     """
     import os
     import threading
 
     timeout = float(os.environ.get("MUSCLE_BENCH_INIT_TIMEOUT", "300"))
     ok = threading.Event()
+    err: list[BaseException] = []
 
     def probe() -> None:
-        import jax
-        import jax.numpy as jnp
+        try:
+            import jax
+            import jax.numpy as jnp
 
-        jax.devices()
-        float(jnp.arange(8.0).sum())  # one tiny op end-to-end
-        ok.set()
+            jax.devices()
+            float(jnp.arange(8.0).sum())  # one tiny op end-to-end
+            ok.set()
+        except BaseException as e:  # report fast failures as themselves
+            err.append(e)
 
     t = threading.Thread(target=probe, daemon=True)
     t.start()
-    t.join(timeout)
+    # poll so an immediate probe exception ends the wait early instead of
+    # being misreported as a full-length timeout (ADVICE r4 #2)
+    deadline = time.monotonic() + timeout
+    while t.is_alive() and not err and time.monotonic() < deadline:
+        t.join(min(2.0, max(0.0, deadline - time.monotonic())))
     if not ok.is_set():
-        _note(f"device init did not complete in {timeout:.0f}s — emitting "
-              "error line and exiting")
+        if err:
+            msg = f"device init failed: {type(err[0]).__name__}: {err[0]}"
+        else:
+            msg = (f"device init timed out after {timeout:.0f}s "
+                   "(axon relay unreachable)")
+        _note(f"{msg} — emitting error line and exiting rc=2")
         print(json.dumps({
             "metric": CamBench.name,
-            "error": f"device init timed out after {timeout:.0f}s "
-                     "(axon relay unreachable)",
+            "error": msg,
             "extra_metrics": [],
-        }))
-        os._exit(0)
+        }), flush=True)
+        os._exit(2)
     _note("device init ok")
 
 
-def main() -> None:
+def _run_benches() -> None:
+    """One bench attempt in THIS process (worker mode): device watchdog,
+    then all five metrics, one JSON line on stdout."""
     from muscle_tpu.utils.compile_cache import enable
 
     enable()  # XLA compiles take minutes on small hosts; cache persists them
@@ -621,8 +645,146 @@ def main() -> None:
 
     out = results.pop(CamBench.name)
     out["extra_metrics"] = [results[b.name] for b in benches if b.name in results]
-    print(json.dumps(out))
+    print(json.dumps(out), flush=True)
+
+
+# Last driver-independent full-run numbers, for the `last_known_good`
+# block emitted when every attempt fails (provenance: BASELINE.md
+# "Measured on this build box (round 4)" — full bench.py run on the real
+# chip, warm cache, after the final round-4 model changes).
+LAST_KNOWN_GOOD = {
+    "provenance": "BASELINE.md round-4 table (full bench.py run on the real "
+                  "chip, 2026-08-20, warm cache; not a driver capture)",
+    "metrics": [
+        {"metric": "cam_tta_images_per_sec_per_chip", "value": 43.6,
+         "device_only": 57.2, "unit": "images/s"},
+        {"metric": "seg_tta_images_per_sec_per_chip", "value": 3.76,
+         "device_only": 21.4, "unit": "images/s"},
+        {"metric": "irn_refine_ms_per_image", "value": 167.0,
+         "device_only": 7.5, "unit": "ms/image"},
+        {"metric": "mcl_train_images_per_sec_per_chip", "value": 49.5,
+         "device_only": 143.1, "unit": "images/s"},
+        {"metric": "mcl_train_curriculum_images_per_sec_per_chip",
+         "value": 66.5, "device_only": 116.5, "unit": "images/s"},
+    ],
+}
+
+
+def main() -> None:
+    """Retry orchestrator (round-4 verdict item 1): the relay's observed
+    wedge cycle is ~40 min with a ~2 min admission window, and the wedge
+    blocks *processes*, not the host — so run each attempt in a FRESH
+    subprocess (``python bench.py --worker``) and retry until a worker
+    lands a full metric line or the total budget runs out.
+
+    Knobs (env):
+      MUSCLE_BENCH_TOTAL_BUDGET  total wall budget, seconds (default 3000)
+      MUSCLE_BENCH_INIT_TIMEOUT  per-attempt device-init bound (default 120
+                                 under the orchestrator; a worker run
+                                 standalone defaults to 300)
+      MUSCLE_BENCH_STALL_TIMEOUT kill a worker with no stderr activity for
+                                 this long (default 1200 s — cache-cold b7
+                                 compiles are minutes on 1 vCPU)
+
+    Exit code is 0 even on final failure — the driver contract is one JSON
+    line on stdout; callers retrying at the shell level must key off the
+    presence of the ``error`` field, not rc (ADVICE r4 #3).  On final
+    failure the line carries ``attempts``, the last per-attempt error, and
+    a ``last_known_good`` block with provenance.
+    """
+    import os
+    import subprocess
+    import threading
+
+    total = float(os.environ.get("MUSCLE_BENCH_TOTAL_BUDGET", "3000"))
+    init_timeout = os.environ.get("MUSCLE_BENCH_INIT_TIMEOUT", "120")
+    stall_timeout = float(os.environ.get("MUSCLE_BENCH_STALL_TIMEOUT", "1200"))
+    deadline = _T0 + total
+    attempt = 0
+    last_error = "no attempt ran"
+
+    while time.monotonic() < deadline - 120.0:
+        attempt += 1
+        remaining = deadline - time.monotonic()
+        _note(f"attempt {attempt}: fresh worker (remaining {remaining:.0f}s, "
+              f"init timeout {init_timeout}s)")
+        env = dict(os.environ, MUSCLE_BENCH_INIT_TIMEOUT=str(init_timeout))
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--worker"],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
+        )
+        out_lines: list[str] = []
+        activity = [time.monotonic()]
+
+        def pump(stream, sink, echo):
+            for line in stream:
+                activity[0] = time.monotonic()
+                if sink is not None:
+                    sink.append(line)
+                if echo:
+                    sys.stderr.write(line)
+                    sys.stderr.flush()
+
+        ts = [
+            threading.Thread(target=pump, args=(proc.stdout, out_lines, False), daemon=True),
+            threading.Thread(target=pump, args=(proc.stderr, None, True), daemon=True),
+        ]
+        for t in ts:
+            t.start()
+        killed = None
+        while proc.poll() is None:
+            now = time.monotonic()
+            if now > deadline:
+                killed = "total budget exhausted mid-attempt"
+            elif now - activity[0] > stall_timeout:
+                killed = f"no worker activity for {stall_timeout:.0f}s (mid-run wedge)"
+            if killed:
+                _note(f"attempt {attempt}: {killed} — killing worker")
+                proc.kill()
+                break
+            time.sleep(2.0)
+        proc.wait()
+        for t in ts:
+            t.join(timeout=10.0)
+
+        parsed = None
+        for line in reversed(out_lines):
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    parsed = json.loads(line)
+                except ValueError:
+                    pass
+                break
+        if parsed is not None and "value" in parsed:
+            parsed["attempts"] = attempt
+            print(json.dumps(parsed), flush=True)
+            return
+        if killed:
+            last_error = f"attempt {attempt}: {killed}"
+        elif parsed is not None and "error" in parsed:
+            last_error = f"attempt {attempt}: {parsed['error']}"
+        else:
+            last_error = (f"attempt {attempt}: worker exited rc={proc.returncode} "
+                          "without a JSON line")
+        _note(f"attempt {attempt} failed: {last_error}")
+
+    _note(f"budget exhausted after {attempt} attempt(s) — emitting error line "
+          "with last_known_good")
+    print(json.dumps({
+        "metric": CamBench.name,
+        "error": f"all {attempt} attempt(s) failed within "
+                 f"{total:.0f}s budget; last: {last_error}",
+        "attempts": attempt,
+        "retry_contract": "key retries off this `error` field; exit code is "
+                          "0 by driver contract",
+        "last_known_good": LAST_KNOWN_GOOD,
+        "extra_metrics": [],
+    }), flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    if "--worker" in sys.argv:
+        _run_benches()
+    else:
+        main()
