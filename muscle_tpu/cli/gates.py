@@ -132,11 +132,16 @@ def main(argv=None) -> None:
     labels = np.load(labels_path, allow_pickle=True).item()
     max_side = 500 if (args.full_size or not args.synthetic) else 64
 
-    # quick tier: pro-rated steps/thresholds (see gates.py docstrings)
-    steps45 = 30 if args.quick else 100
+    # quick tier: pro-rated steps/thresholds (see gates.py docstrings).
+    # gate 4 quick runs 60 steps and ASSERTS the pro-rated decrease (30 is
+    # inside warmup noise; the r4 waiver let a broken optimizer pass —
+    # VERDICT r4 weak #1); gate 6 quick runs 200 steps, past the CAM
+    # convergence knee, and asserts a +0.5 CAM margin.
+    steps4 = 60 if args.quick else 100
+    steps5 = 30 if args.quick else 100
     min_dec4 = 0.10 if args.quick else 0.20
     min_dec5 = 0.15 if args.quick else 0.20
-    steps6 = 100 if args.quick else 300
+    steps6 = 200 if args.quick else 300
 
     layers = 1
     tmodel, variables = G.make_oracle_muscle(
@@ -207,12 +212,12 @@ def main(argv=None) -> None:
 
     if "4" in want:
         emit(G.gate4_train_mcl(voc_root, names, labels_path, args.out_dir,
-                               steps=steps45, backbone="efficientnet-b1",
+                               steps=steps4, backbone="efficientnet-b1",
                                crop=min(crop, 64), min_decrease=min_dec4,
                                quick=args.quick))
     if "5" in want:
         emit(G.gate5_train_muscle(voc_root, names, labels_path, args.out_dir,
-                                  steps=steps45, crop=min(crop, 64),
+                                  steps=steps5, crop=min(crop, 64),
                                   min_decrease=min_dec5, quick=args.quick))
     if "6" in want:
         emit(G.gate6_convergence(voc_root, names, labels_path, args.out_dir,

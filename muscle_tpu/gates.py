@@ -346,6 +346,9 @@ def gate1_cam_single(model, variables, tmodel, img, label, scales, out_side,
         "score_delta": score_delta,
         "tolerance": tol,
         "raw_noise_budget": raw_noise_budget,
+        # which measured field `tolerance` applies to (ADVICE/VERDICT r4:
+        # fast rows print max_abs_delta too, which is NOT the judged field)
+        "judged_on": "max_abs_delta" if engine_mode == "exact" else "mean_abs_delta",
         "passed": bool(ok and score_delta <= score_tol),
         "seconds": round(time.time() - t0, 1),
     }
@@ -669,7 +672,7 @@ def gate7_seg_tta(model, variables, tmodel, voc_root, names, out_dir, scales,
     miou_ours = iou_from_confusion(conf_ours)["mIoU"]
     miou_ref = iou_from_confusion(conf_ref)["mIoU"]
     delta = abs(miou_ours - miou_ref)
-    return {
+    row = {
         "gate": f"7_seg_tta_miou_{engine_mode}{tag}",
         "mIoU_ours": round(float(miou_ours), 4),
         "mIoU_oracle": round(float(miou_ref), 4),
@@ -678,9 +681,30 @@ def gate7_seg_tta(model, variables, tmodel, voc_root, names, out_dir, scales,
         "mean_map_delta": round(float(np.mean(map_deltas)), 7),
         "classes_predicted": len(classes_pred),
         "tolerance": 0.3,
+        "judged_on": "mIoU_delta",
         "passed": bool(delta <= 0.3),
-        "seconds": round(time.time() - t0, 1),
     }
+    if engine_mode == "fast":
+        # output='labels' (device-fused upsample+argmax, the bench/no-CRF
+        # production path) vs the probs path's own host argmax — bounds
+        # the device-resize-vs-PIL boundary rounding on REAL engine maps
+        # (VERDICT r4 item 4: the seg-side oracle-delta row for the
+        # default-on upload/download optimizations)
+        lab_engine = SegTTAEngine(model, variables, scales=scales,
+                                  out_side=out_side, max_side=max_side,
+                                  device_tta=True, accum_stride=4,
+                                  tight_upload=True, output="labels")
+        lab_recs = lab_engine.run_batch(imgs, names)
+        lab_agree = [
+            float((np.argmax(rec["probs"], axis=-1).astype(np.uint8)
+                   == lrec["label"]).mean())
+            for rec, lrec in zip(recs, lab_recs)
+        ]
+        row["labels_agreement"] = round(float(np.mean(lab_agree)), 4)
+        row["labels_agreement_min"] = round(float(np.min(lab_agree)), 4)
+        row["passed"] = bool(row["passed"] and np.mean(lab_agree) >= 0.95)
+    row["seconds"] = round(time.time() - t0, 1)
+    return row
 
 
 def _mcl_grad_norm_liveness(voc_root, names, labels, checkpoint: str,
@@ -740,7 +764,8 @@ def _mcl_grad_norm_liveness(voc_root, names, labels, checkpoint: str,
 
 def gate4_train_mcl(voc_root, names, labels_path, out_dir, steps: int = 100,
                     backbone: str = "efficientnet-b1", crop: int = 64,
-                    min_decrease: float = 0.20, quick: bool = False) -> dict:
+                    min_decrease: float = 0.20, quick: bool = False,
+                    lr: float = 1e-3) -> dict:
     """Config #4: MCL memorisation gate — `steps` batches over 2 images must
     MATERIALLY reduce the loss (>= min_decrease, first-3-median to
     last-10-median), and every curriculum loss term must have a live
@@ -748,11 +773,15 @@ def gate4_train_mcl(voc_root, names, labels_path, out_dir, steps: int = 100,
     (train_mcl.py:152-229: the losses exist to move), not merely 'runs
     without NaN'.
 
-    quick (cli/gates.py --quick): ~30 steps — a regression canary asserting
-    finiteness + per-term grad liveness + checkpointing; the loss DECREASE
-    is reported but not asserted (measured: 30 steps at the memorisation lr
-    is inside warmup noise, -5.1%..+noise).  The full tier (steps=100,
-    >= 20% decrease) is the evidence tier."""
+    The decrease criterion is asserted in EVERY tier (VERDICT r4 weak #1:
+    the r4 quick tier waived it, so a broken optimizer could pass).  quick
+    (cli/gates.py --quick) pro-rates: 60 steps / min_decrease=0.10 —
+    30 steps at the memorisation lr sits inside warmup noise (measured
+    -5.1%..+noise), 60 clears it (measured 2026-08-20, this host,
+    tools/gate4_lr0_canary.py -> CANARY_r05.json: healthy arm -12.8%
+    passes, lr=0 arm -(-1.5)% FAILS with grads still live — the decrease
+    criterion is what discriminates).  `lr` exists so that broken run can
+    be reproduced."""
     from muscle_tpu.cli import train_mcl
 
     import shutil
@@ -780,7 +809,7 @@ def gate4_train_mcl(voc_root, names, labels_path, out_dir, steps: int = 100,
         "--session_name", session, "--log_dir", logd,
         "--backbone", backbone, "--batch_size", "2", "--max_epoches", "1",
         "--crop_size", str(crop), "--vis_every", str(max(steps - 1, 1)),
-        "--log_every", "1", "--lr", "1e-3",  # memorisation config: the
+        "--log_every", "1", "--lr", str(lr),  # memorisation config: the
         # reference's 1e-4 is tuned for 10582 images x 16 epochs, not a
         # 100-step 2-image run.  Measured on the synthetic pair: 3e-4
         # leaves the loss wandering (-15% at step 100); 1e-3 memorises
@@ -819,8 +848,13 @@ def gate4_train_mcl(voc_root, names, labels_path, out_dir, steps: int = 100,
         "checkpoint": os.path.exists(os.path.join(session, "model_0.msgpack")),
         "vis_pngs": len(vis),
         "quick": bool(quick),
+        "criterion": (
+            f"finite AND per-term grads live AND checkpoint written AND "
+            f"loss_last <= {1.0 - min_decrease:.2f} * loss_first over "
+            f"{steps} steps @ lr {lr:g}"
+        ),
         "passed": bool(
-            finite and grads_live and (quick or decreased)
+            finite and grads_live and decreased
             and os.path.exists(os.path.join(session, "model_0.msgpack"))
         ),
         "seconds": round(time.time() - t0, 1),
@@ -974,20 +1008,25 @@ def gate6_convergence(voc_root, names, labels_path, out_dir, steps: int = 300,
         "seg_miou_init": round(float(miou_seg_init), 4),
         "seg_miou_final": round(float(miou_seg_final), 4),
         "quick": bool(quick),
+        # a 300-step random-init seg head reaches only a few mIoU points
+        # absolute on the 4-image synthetic val (measured 0.08 -> 3.97);
+        # require a material gain in both absolute (+2 points) and
+        # relative (3x) terms rather than the trained-regime +5 absolute.
+        # The quick tier (cli/gates.py --quick) pro-rates to 200 steps —
+        # past the CAM convergence knee (~150: measured 3.97 -> 3.67 at
+        # 100, -> 5.61 at 300) — and asserts a CAM improvement MARGIN
+        # (+0.5 abs) above the ~0.1 seed/step jitter, instead of the r4
+        # no-collapse waiver (VERDICT r4 weak #3).
+        "criterion": (
+            "cam_final > cam_init + 0.5 AND seg_final > seg_init + 1.0 "
+            "AND seg_final > 2x seg_init (quick, 200 steps)"
+            if quick else
+            "cam_final > cam_init + 1.0 AND seg_final > seg_init + 2.0 "
+            "AND seg_final > 3x seg_init"
+        ),
         "passed": bool(
-            # a 300-step random-init seg head reaches only a few mIoU
-            # points absolute on the 4-image synthetic val (measured
-            # 0.08 -> 3.97); require a material gain in both absolute
-            # (+2 points) and relative (3x) terms rather than the
-            # trained-regime +5 absolute.  The quick tier (fewer steps,
-            # cli/gates.py --quick) is a regression canary, not the
-            # evidence tier: the seg branch must improve materially (it
-            # does decisively by 100 steps; measured 0.006 -> 3.97), while
-            # the CAM branch — whose convergence knee sits past ~150 steps
-            # (measured 3.97 -> 3.67 at 100, -> 5.61 at 300) — must only
-            # not COLLAPSE (> half the conditioned-oracle init floor).
             (np.isfinite(miou_cam_final)
-             and miou_cam_final > 0.5 * miou_cam_init
+             and miou_cam_final > miou_cam_init + 0.5
              and miou_seg_final > miou_seg_init + 1.0
              and miou_seg_final > 2.0 * miou_seg_init)
             if quick else
