@@ -227,9 +227,14 @@ class SegBench:
         variables = jax.jit(
             lambda k: model.init({"params": k}, jnp.zeros((1, 64, 64, 3)), mode="seg")
         )(jax.random.key(0))
+        # production output: device-fused upsample+argmax, ONE uint8 label
+        # map per image (output='labels') — the r4 probs-mode bench spent
+        # ~80% of wall on the 2.8 MB/batch f16 download + 84 host PIL
+        # channel upsamples per batch; labels mode downloads 44x less and
+        # does no host resample (parity: gate 7 labels_agreement row)
         self.engine = SegTTAEngine(
             model, variables, compute_dtype=jnp.bfloat16, accum_stride=4,
-            download_dtype="float16", tight_upload=True, upload_mode="ycbcr420",
+            tight_upload=True, upload_mode="ycbcr420", output="labels",
         )
 
         def make_batch(i):
@@ -268,6 +273,10 @@ class SegBench:
             "baseline_anchor": "ESTIMATED 4 img/s on one H100 for the "
             "reference's 12 sequential batch-1 b7+BiFPN forwards per image "
             "plus CPU softmax/resize fusion (derivation: BASELINE.md)",
+            "notes": "labels output path (device-fused argmax, uint8 "
+            "download) — the complete no-CRF pipeline incl. the final "
+            "argmax; r4 measured the probs path, which stopped before "
+            "argmax and downloaded 44x more",
         }
 
 
@@ -288,7 +297,13 @@ class RefineBench:
         variables = jax.jit(
             lambda k: model.init({"params": k}, np.zeros((2, 64, 64, 3), np.float32))
         )(jax.random.key(0))
-        self.refiner = RandomWalkRefiner(model, variables, crop_size=512, fast_io=True)
+        # labels output: the reference tail (upsample + /max + bg + argmax,
+        # infer_irn.py:79-88) fused on device, one uint8 map down per image
+        # (the r4 scores mode downloaded (21, grid, grid) f16 + did 21 host
+        # PIL upsamples/image — the wall was ~20x the device-only time)
+        self.refiner = RandomWalkRefiner(
+            model, variables, crop_size=512, fast_io=True, output="labels"
+        )
 
         def make_batch(i):
             imgs, dicts = [], []
@@ -337,6 +352,9 @@ class RefineBench:
             "reference's per-image CPU PathIndex + dense (HW)^2 transition "
             "build + 6 matrix squarings (~46 TFLOP at grid 125^2) "
             "(derivation: BASELINE.md)",
+            "notes": "labels output path (device-fused upsample/argmax tail, "
+            "uint8 download) — the complete refine-to-pseudo-label pipeline; "
+            "r4 measured the scores path (f16 grid download + host upsample)",
         }
 
 

@@ -69,6 +69,10 @@ def main(argv=None) -> None:
         bg_threshold=args.sem_seg_bg_thres, walk_method=args.walk_method,
         fast_io=bool(args.fast),
         compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        # PNG-only output needs no soft scores: fuse the reference tail
+        # (upsample + /max + bg + argmax, infer_irn.py:79-88) on device and
+        # download one uint8 map per image (DEVIATIONS.md #16)
+        output="scores" if (args.soft_output or not args.fast) else "labels",
     )
 
     names, _ = load_lists(args, args.infer_list)

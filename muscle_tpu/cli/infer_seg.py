@@ -63,9 +63,16 @@ def main(argv=None) -> None:
         from muscle_tpu.parallel import make_data_mesh_for_batch
 
         mesh = make_data_mesh_for_batch(args.batch_size)
+    # no CRF and no class gating -> nothing downstream needs probabilities:
+    # fuse the final upsample + argmax on device and download one uint8
+    # label map per image (SegTTAEngine output='labels' — ~44x less link
+    # traffic and no host per-channel upsample; parity bounded by gate 7's
+    # labels_agreement row)
+    labels_out = bool(args.fast) and not args.crf and not args.cls_dir
     engine = SegTTAEngine(
         model, variables, num_classes=args.num_classes, mesh=mesh,
         shard_spatial=args.spatial > 1,
+        output="labels" if labels_out else "probs",
         **(fast if args.fast else {})
     )
 
@@ -79,6 +86,11 @@ def main(argv=None) -> None:
 
     def postprocess(imgs, records):
         for j, rec in enumerate(records):
+            if labels_out:
+                if args.out_seg:
+                    Image.fromarray(rec["label"]).save(
+                        os.path.join(args.out_seg, rec["name"] + ".png"))
+                continue
             probs = rec["probs"]
             if args.crf:
                 orig = np.asarray(imgs[j])

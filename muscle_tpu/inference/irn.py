@@ -67,6 +67,7 @@ class RandomWalkRefiner:
         fast_io: bool = False,
         max_classes: int = 4,
         compute_dtype=jnp.float32,
+        output: str = "scores",
     ):
         self.model = irn_model
         self.variables = variables
@@ -81,6 +82,18 @@ class RandomWalkRefiner:
         self.walk_method = walk_method
         self.fast_io = fast_io
         self.max_classes = max_classes
+        # output='labels' (fast_io only): fuse the reference tail — clamp-
+        # replicate at the window edge, 4x half-pixel upsample, window /max,
+        # bg threshold, argmax (infer_irn.py:79-88) — into the device
+        # program and download ONE uint8 label map per image instead of the
+        # (21, grid, grid) f16 scores + 21 host PIL upsamples.  Deviation:
+        # f32-vs-PIL interpolation rounding at class boundaries only
+        # (bounded by tests/test_inference.py::test_irn_labels_mode).
+        if output not in ("scores", "labels"):
+            raise ValueError(f"unsupported output {output!r}")
+        if output == "labels" and not fast_io:
+            raise ValueError("output='labels' requires fast_io=True")
+        self.output = output
         # bf16 runs the edge model on the MXU fast path; the walk itself
         # stays f32 (edge maps feed (1-e)^beta, which amplifies low-bit
         # noise).  Deviation bounded by tests/test_inference.py.
@@ -177,21 +190,28 @@ class RandomWalkRefiner:
 
         return core
 
-    def _refine_fast_for(self, crop: int):
-        """fast_io batched program: YCbCr canvases + K-channel f16 CAMs in,
-        (B, 21, grid, grid) f16 walk scores out (bg channel 0).  The device
-        divides by the node max only as an f16 precision pre-scale; the
-        exact reference /max (over the upsampled, cropped field,
-        infer_irn.py:79-80) happens on host after the upsample — the
-        composition is scale-invariant, so the pre-scale drops out."""
-        if crop in self._refine_fast_cache:
-            return self._refine_fast_cache[crop]
+    def _refine_fast_for(self, crop: int, labels: bool = False):
+        """fast_io batched program: YCbCr canvases + K-channel f16 CAMs in.
+
+        labels=False: (B, 21, grid, grid) f16 walk scores out (bg channel
+        0).  The device divides by the node max only as an f16 precision
+        pre-scale; the exact reference /max (over the upsampled, cropped
+        field, infer_irn.py:79-80) happens on host after the upsample —
+        the composition is scale-invariant, so the pre-scale drops out.
+
+        labels=True: the reference tail — window-edge clamp, 4x half-pixel
+        upsample, window /max, bg threshold, argmax (infer_irn.py:79-88) —
+        fused on device; (B, crop, crop) uint8 out, ~50x less download."""
+        key = (crop, labels)
+        if key in self._refine_fast_cache:
+            return self._refine_fast_cache[key]
         from muscle_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
         from muscle_tpu.inference.upload import ycbcr420_unpack_fn
 
         model = self._model_for(crop)
         core = self._walk_core(crop, model)
         grid = crop // self.stride
+        stride = self.stride
         bg_threshold = self.bg_threshold
         mean = jnp.asarray(IMAGENET_MEAN[0, 0], jnp.float32)
         std = jnp.asarray(IMAGENET_STD[0, 0], jnp.float32)
@@ -216,13 +236,34 @@ class RandomWalkRefiner:
                 cams = jnp.zeros((21, crop, crop), jnp.float32)
                 cams = cams.at[idx].add(vals.astype(jnp.float32))[:20]
                 rw = core(variables, pair, cams, size)
-                rw = rw / jnp.maximum(jnp.max(rw), 1e-12)
-                bg = jnp.full((1, grid, grid), bg_threshold, rw.dtype)
-                return jnp.concatenate([bg, rw], axis=0).astype(jnp.float16)
+                if not labels:
+                    rw = rw / jnp.maximum(jnp.max(rw), 1e-12)
+                    bg = jnp.full((1, grid, grid), bg_threshold, rw.dtype)
+                    return jnp.concatenate([bg, rw], axis=0).astype(jnp.float16)
+                # the reference's UNPADDED interpolate clamps at the window
+                # edge; our static-canvas resize would blend with pad zeros
+                # — replicate the edge value across the pad instead (the
+                # in-window output then matches clamped sampling exactly;
+                # the host scores path does the same one-node replicate)
+                eh = (size[0] - 1) // stride + 1
+                ew = (size[1] - 1) // stride + 1
+                rw = jnp.take(rw, jnp.clip(jnp.arange(grid), 0, eh - 1), axis=1)
+                rw = jnp.take(rw, jnp.clip(jnp.arange(grid), 0, ew - 1), axis=2)
+                up = resize_bilinear(
+                    rw.transpose(1, 2, 0), (crop, crop), align_corners=False
+                )  # (crop, crop, 20)
+                # reference /max over the cropped window AFTER the upsample
+                # (infer_irn.py:79-80)
+                m = jnp.max(jnp.where(valid, up, -jnp.inf))
+                up = up / jnp.maximum(m, 1e-12)
+                fg_max = jnp.max(up, axis=-1)
+                fg_arg = (jnp.argmax(up, axis=-1) + 1).astype(jnp.uint8)
+                # argmax([bg, fg...]) picks bg on ties -> strict >
+                return jnp.where(fg_max > bg_threshold, fg_arg, 0).astype(jnp.uint8)
 
             return jax.vmap(one)(rgb, sizes, cam_vals, cam_idx)
 
-        self._refine_fast_cache[crop] = run
+        self._refine_fast_cache[key] = run
         return run
 
     def _refine_batch_for(self, crop: int):
@@ -271,7 +312,8 @@ class RandomWalkRefiner:
 
     def refine_batch(self, pil_images, cam_dicts) -> list[np.ndarray]:
         """Batched refinement, grouped by size bucket.  Returns per-image
-        (H, W, 21) float32 scores."""
+        (H, W, 21) float32 scores, or (H, W) uint8 label maps with
+        output='labels'."""
         groups: dict[int, list[int]] = {}
         for i, img in enumerate(pil_images):
             w, h = img.size
@@ -337,7 +379,7 @@ class RandomWalkRefiner:
         assert len(crops) == 1, "bench batch must share one size bucket"
         crop = crops.pop()
         packed = self._pack_fast(crop, pil_images, cam_dicts)
-        fn = self._refine_fast_for(crop)
+        fn = self._refine_fast_for(crop, labels=self.output == "labels")
         args = tuple(jnp.asarray(a) for a in packed)
         return lambda: fn(self.variables, *args)
 
@@ -352,6 +394,13 @@ class RandomWalkRefiner:
         y, c, transposed, cam_vals, cam_idx, sizes = self._pack_fast(
             crop, pil_images, cam_dicts
         )
+        if self.output == "labels":
+            labs = np.asarray(self._refine_fast_for(crop, labels=True)(
+                self.variables, jnp.asarray(y), jnp.asarray(c),
+                jnp.asarray(transposed), jnp.asarray(cam_vals),
+                jnp.asarray(cam_idx), jnp.asarray(sizes),
+            ))
+            return [labs[i, :sizes[i, 0], :sizes[i, 1]] for i in range(b)]
         outs = np.asarray(
             self._refine_fast_for(crop)(
                 self.variables, jnp.asarray(y), jnp.asarray(c),
@@ -397,4 +446,6 @@ class RandomWalkRefiner:
         return results
 
     def to_png_labels(self, scores_hwc: np.ndarray) -> np.ndarray:
+        if scores_hwc.ndim == 2:  # output='labels': already argmaxed on device
+            return scores_hwc
         return np.argmax(scores_hwc, axis=-1).astype(np.uint8)

@@ -45,10 +45,25 @@ class SegTTAEngine:
     download_dtype: 'float32' (parity) or 'float16' (halves the link; the
     probs feed log-unary CRFs, so f16 — which keeps small-prob exponent
     range — is used rather than uint8).
-    tight_upload: see CamTTAEngine (exact).
-    upload_mode: 'rgb' (parity) or 'ycbcr420' — chroma-subsampled upload,
-    see CamTTAEngine / inference/upload.py (deviation bounded by
-    tests/test_inference.py).
+    tight_upload: see CamTTAEngine (exact).  Default True (VERDICT r4
+    item 4: the production upload optimizations are the engine default;
+    pass False for the parity layout).
+    upload_mode: 'ycbcr420' (default — chroma-subsampled upload, see
+    CamTTAEngine / inference/upload.py; deviation bounded by
+    tests/test_inference.py and gate 7 fast) or 'rgb' (parity).
+    output: 'probs' (default) returns the mean TTA softmax per image so
+    the caller can run either CRF backend; 'labels' (device_tta only)
+    fuses the final upsample-to-original-size AND the argmax into the
+    device pipeline and downloads ONE uint8 label map per image —
+    ~44x less download than the f16 prob grid and no host per-channel
+    upsample, for the no-CRF / XLA-CRF-free production path
+    (reference chain: softmax-mean -> resize -> argmax,
+    infer_seg.py:101-133 minus the optional CRF).  argmax commutes with
+    the /n mean, and the device bilinear upsample uses the same
+    half-pixel semantics as the host PIL path (core/resize.py), so the
+    only deviation vs output='probs' + host argmax is f32-vs-PIL
+    interpolation rounding at class boundaries (bounded by gate 7 fast's
+    labels_agreement row).  cls_gates are not supported in labels mode.
     mesh: shard the batch over the mesh's 'data' axis (see CamTTAEngine).
     shard_spatial: additionally shard image HEIGHT over the mesh's 'model'
     axis (parallel.mesh.spatial_sharding) — GSPMD halo-exchange convs, so
@@ -68,11 +83,12 @@ class SegTTAEngine:
         device_tta: bool = True,
         accum_stride: int = 1,
         download_dtype: str = "float32",
-        tight_upload: bool = False,
-        upload_mode: str = "rgb",
+        tight_upload: bool = True,
+        upload_mode: str = "ycbcr420",
         mesh=None,
         shard_spatial: bool = False,
         window_exact: bool = True,
+        output: str = "probs",
     ):
         self.model = model
         self.variables = variables
@@ -117,6 +133,12 @@ class SegTTAEngine:
         # window mode) — the padded-canvas forward equals the reference's
         # unpadded forward (closes the seg half of DEVIATIONS.md #8).
         self.window_exact = window_exact
+        if output not in ("probs", "labels"):
+            raise ValueError(f"unsupported output {output!r}")
+        if output == "labels" and not device_tta:
+            raise ValueError("output='labels' requires device_tta=True "
+                             "(the argmax is fused into the device pipeline)")
+        self.output = output
         self._scale_fn = {}
         self._scale_raw = {}
         self._device_pipeline = {}
@@ -274,7 +296,7 @@ class SegTTAEngine:
     def _device_pipeline_for(self, batch: int, canvases: tuple, upload_kind: str):
         """ONE jit program: unpack -> all TTA scales -> mean/downcast (see
         CamTTAEngine._device_pipeline_for)."""
-        key = (upload_kind, batch, canvases)
+        key = (upload_kind, batch, canvases, self.output)
         if key not in self._device_pipeline:
             from muscle_tpu.inference.upload import (
                 square_unpack_fn,
@@ -285,7 +307,8 @@ class SegTTAEngine:
                 self._device_fn_raw(s, batch, cv)
                 for s, cv in zip(self.scales, canvases)
             ]
-            finish = self._finish
+            labels = self.output == "labels"
+            finish = self._labels_finish if labels else self._finish
             acc_side = self.acc_side
             nc = self.num_classes
             if upload_kind == "ycbcr420":
@@ -302,6 +325,8 @@ class SegTTAEngine:
                 acc = jnp.zeros((b, acc_side, acc_side, nc), jnp.float32)
                 for raw in raws:
                     acc = raw(variables, images, orig_sizes, acc)
+                if labels:
+                    return finish(acc, orig_sizes)
                 return finish(acc)
 
             self._device_pipeline[key] = pipeline
@@ -329,10 +354,36 @@ class SegTTAEngine:
 
         return finish
 
+    @functools.cached_property
+    def _labels_finish(self):
+        """output='labels' tail: per-image window upsample of the summed
+        probs to original size inside the (out_side, out_side) canvas +
+        argmax -> uint8.  argmax is scale-invariant so the /n mean is
+        skipped; half-pixel (PIL/cv2) sampling matches the host _expand."""
+        stride = self.accum_stride
+        out_side = self.out_side
+
+        @jax.jit
+        def finish(acc, orig_sizes):
+            def per_image(m, orig):
+                awh = (orig + stride - 1) // stride
+                box = jnp.concatenate([jnp.zeros(2, jnp.int32), awh])
+                up = dynamic_window_resize(
+                    m, box, (out_side, out_side), dst_hw=orig,
+                    align_corners=False,
+                )
+                return jnp.argmax(up, axis=-1).astype(jnp.uint8)
+
+            return jax.vmap(per_image)(acc, orig_sizes)
+
+        return finish
+
     def run_batch(self, pil_images, names, cls_gates=None) -> list[dict]:
-        """Returns per-image {'name', 'probs' (H, W, C) float32} — the mean
-        TTA softmax BEFORE CRF (CRF and argmax are applied by the caller so
-        both the XLA and the exact C++ CRF backends can be used)."""
+        """output='probs': per-image {'name', 'probs' (H, W, C) float32} —
+        the mean TTA softmax BEFORE CRF (CRF and argmax are applied by the
+        caller so both the XLA and the exact C++ CRF backends can be used).
+        output='labels': per-image {'name', 'label' (H, W) uint8} — argmax
+        fused on device (see class docstring)."""
         return self._run_batch(pil_images, names, cls_gates, defer=False)
 
     def run_batch_async(self, pil_images, names, cls_gates=None):
@@ -391,8 +442,6 @@ class SegTTAEngine:
 
     def _run_batch(self, pil_images, names, cls_gates, defer: bool):
         b = len(pil_images)
-        stride = self.accum_stride
-        acc = jnp.zeros((b, self.acc_side, self.acc_side, self.num_classes), jnp.float32)
 
         if self.device_tta:
             finalize = self._dispatch_prepped(
@@ -403,6 +452,9 @@ class SegTTAEngine:
             assert not defer, "async pipeline requires device_tta"
             from muscle_tpu.data.tta import scaled_size
 
+            acc = jnp.zeros(
+                (b, self.acc_side, self.acc_side, self.num_classes), jnp.float32
+            )
             orig_sizes = None
             for s in self.scales:
                 # host-side scaled sizes + TF-SAME placement, like
@@ -450,6 +502,9 @@ class SegTTAEngine:
         names = prep["names"]
         orig_sizes = prep["orig_sizes"]
         cls_gates = prep["cls_gates"]
+        if self.output == "labels" and cls_gates is not None:
+            raise ValueError("cls_gates are applied to probabilities; use "
+                             "output='probs' (labels mode fuses the argmax)")
         up = prep["upload"]
         if self.fuse_dispatch:
             canvases = tuple(
@@ -490,6 +545,16 @@ class SegTTAEngine:
                     s, b, _batch_canvas(s, orig_sizes, self.max_side, n_strided=N_STRIDED_DEC)
                 )(self.variables, images_dev, sizes_dev, acc)
             fused = self._finish(acc)
+
+        if self.output == "labels":
+            def finalize() -> list[dict]:
+                lab = np.asarray(fused)  # (B, out_side, out_side) uint8
+                return [
+                    {"name": name, "label": lab[i, :orig_sizes[i][0], :orig_sizes[i][1]]}
+                    for i, name in enumerate(names)
+                ]
+
+            return finalize
 
         def finalize() -> list[dict]:
             mean = np.asarray(fused)

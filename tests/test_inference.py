@@ -97,7 +97,9 @@ def test_seg_device_tta_matches_host(enc_model):
         {"params": jax.random.key(7)}, jnp.zeros((1, 32, 32, 3)), mode="seg"
     )
     imgs = _imgs([(50, 40)], seed=11)
-    kw = dict(scales=(0.5, 1.0), out_side=64, max_side=50)
+    # upload_mode='rgb': the host path uploads float canvases, so the
+    # device arm must not take the (default) lossy ycbcr420 encoding
+    kw = dict(scales=(0.5, 1.0), out_side=64, max_side=50, upload_mode="rgb")
     host = SegTTAEngine(model, variables, device_tta=False, **kw).run_batch(imgs, ["a"])[0]
     dev = SegTTAEngine(model, variables, device_tta=True, **kw).run_batch(imgs, ["a"])[0]
     np.testing.assert_allclose(dev["probs"], host["probs"], atol=5e-3)
@@ -333,7 +335,7 @@ def test_seg_device_tta_rect_canvas_matches_host():
         {"params": jax.random.key(7)}, jnp.zeros((1, 32, 32, 3)), mode="seg"
     )
     imgs = _imgs([(100, 160), (90, 150)], seed=16)
-    kw = dict(scales=(0.5, 1.0), out_side=192, max_side=160)
+    kw = dict(scales=(0.5, 1.0), out_side=192, max_side=160, upload_mode="rgb")
     host = SegTTAEngine(model, variables, device_tta=False, **kw).run_batch(
         imgs, ["a", "b"]
     )
@@ -412,12 +414,76 @@ def test_seg_upload_ycbcr_close_to_rgb():
     )
     imgs = _imgs([(50, 40), (40, 56)], seed=14)
     kw = dict(scales=(0.5, 1.0), out_side=64, max_side=56, device_tta=True)
-    base = SegTTAEngine(model, variables, **kw).run_batch(imgs, ["a", "b"])
+    base = SegTTAEngine(model, variables, upload_mode="rgb", **kw).run_batch(
+        imgs, ["a", "b"]
+    )
     ycc = SegTTAEngine(model, variables, upload_mode="ycbcr420", **kw).run_batch(
         imgs, ["a", "b"]
     )
     for x, y in zip(base, ycc):
         assert np.abs(x["probs"] - y["probs"]).mean() < 0.01
+
+
+class _StubSegModel:
+    """Seg-mode stub (see _StubCamModel): smooth structured stride-8
+    logits with a strong class separation, so the argmax regions are
+    large and boundary near-ties don't dominate the comparison the way
+    they do on a random-init b1 (near-uniform softmax)."""
+
+    def apply(self, variables, x, mode="seg_lowres", valid_window=None, **kw):
+        b, h, w, _ = x.shape
+        g = 8 if mode == "seg_lowres" else 1
+        pooled = x.reshape(b, h // g, g, w // g, g, 3).mean(axis=(2, 4))
+        mix = jnp.asarray(variables["mix"])  # (3, 21)
+        return 8.0 * jnp.einsum("bhwc,ck->bhwk", pooled, mix), None
+
+
+def _smooth_imgs(sizes, seed=0):
+    rng = np.random.default_rng(seed)
+    out = []
+    for h, w in sizes:
+        yy = np.linspace(0, 1, h)[:, None, None]
+        xx = np.linspace(0, 1, w)[None, :, None]
+        base = 255 * (0.2 + 0.6 * (yy * [1, 0.3, 0.7] + xx * [0.2, 0.8, 0.1]) / 1.1)
+        base += rng.normal(0, 2, size=(h, w, 3))
+        out.append(Image.fromarray(np.clip(base, 0, 255).astype(np.uint8)))
+    return out
+
+
+@pytest.mark.parametrize("stride", [1, 4])
+def test_seg_labels_mode_matches_probs_argmax(stride):
+    """output='labels' (device window-upsample + fused argmax, uint8
+    download) must agree with the probs path's host argmax — stride 1 is
+    an identity resize on both arms (agreement ~1); stride 4 bounds the
+    device-f32-resize vs host-PIL-resize boundary rounding."""
+    rng = np.random.default_rng(5)
+    model = _StubSegModel()
+    variables = {"mix": rng.normal(size=(3, 21)).astype(np.float32)}
+    sizes = [(50, 40), (40, 56)]
+    imgs = _smooth_imgs(sizes, seed=21)
+    kw = dict(scales=(0.5, 1.0), out_side=64, max_side=56, device_tta=True,
+              accum_stride=stride)
+    probs = SegTTAEngine(model, variables, **kw).run_batch(imgs, ["a", "b"])
+    labels = SegTTAEngine(model, variables, output="labels", **kw).run_batch(
+        imgs, ["a", "b"]
+    )
+    for p, l, (h, w) in zip(probs, labels, sizes):
+        assert l["label"].shape == (h, w) and l["label"].dtype == np.uint8
+        ref = np.argmax(p["probs"], axis=-1)
+        agree = float((ref == l["label"]).mean())
+        assert agree >= (0.999 if stride == 1 else 0.97), agree
+
+
+def test_seg_labels_mode_rejects_probs_only_options():
+    model = _StubSegModel()
+    variables = {"mix": np.eye(3, 21, dtype=np.float32)}
+    with pytest.raises(ValueError, match="labels"):
+        SegTTAEngine(model, variables, device_tta=False, output="labels")
+    engine = SegTTAEngine(model, variables, scales=(1.0,), out_side=64,
+                          max_side=56, output="labels")
+    gate = np.ones(21, np.float32)
+    with pytest.raises(ValueError, match="cls_gates"):
+        engine.run_batch(_smooth_imgs([(40, 40)]), ["a"], [gate])
 
 
 def test_random_walk_refiner(tmp_path):
@@ -465,6 +531,38 @@ def test_random_walk_refiner(tmp_path):
     )
     out16 = b16.refine_image(img, cam_dict)
     assert np.abs(out16 - scores).mean() < 0.02, np.abs(out16 - scores).mean()
+
+
+def test_irn_labels_mode():
+    """output='labels' (device-fused reference tail: window-clamped 4x
+    upsample, window /max, bg threshold, argmax — DEVIATIONS.md #16) must
+    agree with the fast scores path + host argmax away from class
+    boundaries, and reject non-fast_io construction."""
+    model = EdgeDisplacement(crop_size=64)
+    variables = model.init(
+        {"params": jax.random.key(2)}, jnp.zeros((2, 64, 64, 3))
+    )
+    with pytest.raises(ValueError, match="fast_io"):
+        RandomWalkRefiner(model, variables, crop_size=64, output="labels")
+    imgs = _imgs([(50, 44), (44, 50)], seed=4)
+    rng = np.random.default_rng(0)
+    dicts = [
+        {3: rng.uniform(0, 1, (50, 44)).astype(np.float16)},
+        {5: rng.uniform(0, 1, (44, 50)).astype(np.float16),
+         7: rng.uniform(0, 1, (44, 50)).astype(np.float16)},
+    ]
+    fast = RandomWalkRefiner(model, variables, crop_size=64, fast_io=True)
+    lab = RandomWalkRefiner(model, variables, crop_size=64, fast_io=True,
+                            output="labels")
+    scores = fast.refine_batch(imgs, dicts)
+    labels = lab.refine_batch(imgs, dicts)
+    for s, l, img in zip(scores, labels, imgs):
+        w, h = img.size
+        assert l.shape == (h, w) and l.dtype == np.uint8
+        ref = fast.to_png_labels(s)
+        agree = float((ref == l).mean())
+        assert agree >= 0.97, agree
+        assert lab.to_png_labels(l) is l
 
 
 def test_cam_run_stream_matches_run_batch(enc_model):
