@@ -518,7 +518,15 @@ def gate3_irn_refine(voc_root, names, labels, cam_dir, out_dir,
         {k: v.detach().numpy() for k, v in tnet.state_dict().items()}
     )
     model = EdgeDisplacement(crop_size=512)
-    refiner = RandomWalkRefiner(model, variables, crop_size=512)
+    # bucket=0: always the reference's full 512 canvas.  The torch edge
+    # net's deep features are CANVAS-SIZE SENSITIVE (bias/BN pad
+    # activations inside stride-32 receptive fields): torch itself at
+    # crop 128 vs 512 differs by 0.10 mean edge on 48-64 px images
+    # (measured 2026-08-20; our canvas forward is bit-exact against torch
+    # at the SAME canvas, 2e-7).  The refiner's size bucketing is a small-
+    # image perf feature that real VOC sizes never hit (375-500 px all
+    # bucket to 512) — the parity gate must not exercise it.
+    refiner = RandomWalkRefiner(model, variables, crop_size=512, bucket=0)
 
     # the reference walk hardcodes .cuda() (indexing.py:84,111) — run it
     # on CPU by no-opping the transfer for the duration of the oracle calls

@@ -142,10 +142,25 @@ class RandomWalkRefiner:
             (valid top-left window (H, W), bg channel 0).
             """
             rw = core(variables, img_pair, cams, size)
+            # replicate the window-edge value across the pad before the 4x
+            # upsample: the reference interpolates the UNPADDED (eh, ew)
+            # field, which clamps at the edge (infer_irn.py:79); a canvas
+            # resize would blend the outermost window pixels with pad zeros
+            eh = (size[0] - 1) // stride + 1
+            ew = (size[1] - 1) // stride + 1
+            rw = jnp.take(rw, jnp.clip(jnp.arange(grid), 0, eh - 1), axis=1)
+            rw = jnp.take(rw, jnp.clip(jnp.arange(grid), 0, ew - 1), axis=2)
             rw_up = resize_bilinear(
                 rw.transpose(1, 2, 0), (crop, crop), align_corners=False
             ).transpose(2, 0, 1)
-            rw_up = rw_up / jnp.maximum(jnp.max(rw_up), 1e-12)
+            # reference /max is over the CROPPED window (infer_irn.py:80);
+            # the canvas max can exceed it when the peak node's exact-hit
+            # output position falls outside (H, W)
+            rows = jnp.arange(crop)[:, None]
+            cols = jnp.arange(crop)[None, :]
+            vmask = (rows < size[0]) & (cols < size[1])
+            m = jnp.max(jnp.where(vmask[None], rw_up, -jnp.inf))
+            rw_up = rw_up / jnp.maximum(m, 1e-12)
             bg = jnp.full((1, crop, crop), self.bg_threshold, rw_up.dtype)
             return jnp.concatenate([bg, rw_up], axis=0)
 
@@ -176,10 +191,22 @@ class RandomWalkRefiner:
             edge = jnp.where(fvalid, edge, 1.0)
 
             # downscale CAMs to the walk grid (align_corners=False,
-            # infer_irn.py:76); source is the (H, W) window of the 512 pad,
-            # so a plain full-canvas resize keeps the geometry aligned.
-            cam_small = resize_bilinear(
-                cams.transpose(1, 2, 0), (grid, grid), align_corners=False
+            # infer_irn.py:76).  The reference resizes the UNPADDED (H, W)
+            # image to its own (eh, ew) feature window — a scale of
+            # H/eh = H/((H-1)//4+1), which equals the canvas's uniform 4
+            # only when H, W are multiples of the stride.  A full-canvas
+            # /4 resize therefore samples the wrong positions on odd dims
+            # (42 px: scale 3.818 vs 4 — the whole 0.77 trained-walk mIoU
+            # delta of GATES r5 quick, bisected in tools/gate3_bisect.py:
+            # edge fwd, downsample and walk are bit/pixel-identical in
+            # isolation); resize the valid window per image instead.
+            from muscle_tpu.core.resize import dynamic_window_resize
+
+            box = jnp.concatenate([jnp.zeros((2,), jnp.int32), size])
+            ewh = jnp.stack([eh, ew])
+            cam_small = dynamic_window_resize(
+                cams.transpose(1, 2, 0), box, (grid, grid), dst_hw=ewh,
+                align_corners=False,
             ).transpose(2, 0, 1)
             cam_small = cam_small * fvalid[None]
 

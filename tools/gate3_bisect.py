@@ -97,7 +97,9 @@ def main() -> None:
         {k: v.detach().numpy() for k, v in tnet.state_dict().items()}
     )
     jmodel = EdgeDisplacement(crop_size=512)
-    refiner = RandomWalkRefiner(jmodel, variables, crop_size=512)
+    # bucket=0 = gate 3's reference-faithful config (the torch edge net is
+    # canvas-size sensitive; see gates.gate3_irn_refine)
+    refiner = RandomWalkRefiner(jmodel, variables, crop_size=512, bucket=0)
 
     orig_cuda = torch.Tensor.cuda
     torch.Tensor.cuda = lambda self, *a, **k: self
@@ -151,15 +153,16 @@ def main() -> None:
 
         mh = _interp_matrix(h, edge_t.shape[1], align_corners=False)
         mw = _interp_matrix(w, edge_t.shape[2], align_corners=False)
-        down_j = torch.from_numpy(
+        down_j = torch.from_numpy(np.ascontiguousarray(
             np.einsum("Hh,chw,Ww->cHW", mh, cam_arr, mw, optimize=True)
-        ).unsqueeze(0)
+        )).unsqueeze(0)
         down_deltas.append(float((down_j - down_t).abs().max()))
 
         def ref_walk(down, edge):
             with torch.no_grad():
                 return ref_indexing.propagate_to_edge(
-                    down, edge, beta=8, exp_times=6, radius=5)
+                    down.contiguous(), edge.contiguous(), beta=8,
+                    exp_times=6, radius=5)
 
         def our_walk(down, edge, method):
             # both sides carry the fused sigmoid edge: torch (1, fh, fw),
@@ -168,7 +171,9 @@ def main() -> None:
                 jnp.asarray(down.numpy()[0]), jnp.asarray(edge.numpy()[0]),
                 radius=5, beta=8, exp_times=6, method=method,
             )
-            return torch.from_numpy(np.asarray(out)).unsqueeze(0)
+            # reference walk returns (C, 1, grid, grid) — match it so the
+            # shared tail's [..., 0, :h, :w] slices the same axis
+            return torch.from_numpy(np.asarray(out)).unsqueeze(1)
 
         rw = {
             "oracle": ref_walk(down_t, edge_t),
