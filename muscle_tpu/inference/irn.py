@@ -41,11 +41,13 @@ class RandomWalkRefiner:
         the host<->device link (f32 orig+flip pair up, f32 dense 20-class
         CAM stack up, f32 full-res scores down); fast_io uploads the image
         ONCE as YCbCr 4:2:0 (normalisation + flip on device), the CAMs as
-        K labelled channels in f16 (scattered to the 21-class stack on
-        device), and downloads the walk output at the stride-4 grid in
-        f16, upsampled to image size on host — ~3 MB/image, same family
-        of bounded deviations as the TTA engines (DEVIATIONS.md #9/#13;
-        bounded by tests/test_inference.py).
+        K labelled channels in f16 ALREADY AT THE WALK GRID (host window
+        downsample — the walk never consumes finer; scattered to the
+        21-class stack on device), and downloads the walk output at the
+        stride-4 grid in f16, upsampled to image size on host (or, with
+        output='labels', one uint8 label map) — ~0.6 MB/image, same
+        family of bounded deviations as the TTA engines (DEVIATIONS.md
+        #9/#13/#14; bounded by tests/test_inference.py).
       max_classes: fast_io per-image class budget FLOOR — each size-bucket
         group sizes its actual budget to the largest CAM dict in the group
         (a per-program shape constant), so classes are never dropped; the
@@ -167,9 +169,14 @@ class RandomWalkRefiner:
         self._refine_cache[crop] = refine
         return refine
 
-    def _walk_core(self, crop: int, model):
+    def _walk_core(self, crop: int, model, cams_at_grid: bool = False):
         """Shared edge-forward + CAM-downscale + random-walk body; returns
-        the raw propagated CAMs at the stride-4 walk grid."""
+        the raw propagated CAMs at the stride-4 walk grid.
+
+        cams_at_grid: the fast_io path uploads CAMs ALREADY at the walk
+        grid (host PIL window downsample — same half-pixel semantics as
+        the device resize, 16x less upload than canvas-resolution CAMs);
+        skip the device downsample and just re-mask."""
         radius = self.radius
         beta, exp_times = self.beta, self.exp_times
         stride = self.stride
@@ -190,25 +197,29 @@ class RandomWalkRefiner:
             fvalid = (rows < eh) & (cols < ew)
             edge = jnp.where(fvalid, edge, 1.0)
 
-            # downscale CAMs to the walk grid (align_corners=False,
-            # infer_irn.py:76).  The reference resizes the UNPADDED (H, W)
-            # image to its own (eh, ew) feature window — a scale of
-            # H/eh = H/((H-1)//4+1), which equals the canvas's uniform 4
-            # only when H, W are multiples of the stride.  A full-canvas
-            # /4 resize therefore samples the wrong positions on odd dims
-            # (42 px: scale 3.818 vs 4 — the whole 0.77 trained-walk mIoU
-            # delta of GATES r5 quick, bisected in tools/gate3_bisect.py:
-            # edge fwd, downsample and walk are bit/pixel-identical in
-            # isolation); resize the valid window per image instead.
-            from muscle_tpu.core.resize import dynamic_window_resize
+            if cams_at_grid:
+                cam_small = cams * fvalid[None]
+            else:
+                # downscale CAMs to the walk grid (align_corners=False,
+                # infer_irn.py:76).  The reference resizes the UNPADDED
+                # (H, W) image to its own (eh, ew) feature window — a
+                # scale of H/eh = H/((H-1)//4+1), which equals the
+                # canvas's uniform 4 only when H, W are multiples of the
+                # stride.  A full-canvas /4 resize therefore samples the
+                # wrong positions on odd dims (42 px: scale 3.818 vs 4 —
+                # the whole 0.77 trained-walk mIoU delta of GATES r5
+                # quick, bisected in tools/gate3_bisect.py: edge fwd,
+                # downsample and walk are bit/pixel-identical in
+                # isolation); resize the valid window per image instead.
+                from muscle_tpu.core.resize import dynamic_window_resize
 
-            box = jnp.concatenate([jnp.zeros((2,), jnp.int32), size])
-            ewh = jnp.stack([eh, ew])
-            cam_small = dynamic_window_resize(
-                cams.transpose(1, 2, 0), box, (grid, grid), dst_hw=ewh,
-                align_corners=False,
-            ).transpose(2, 0, 1)
-            cam_small = cam_small * fvalid[None]
+                box = jnp.concatenate([jnp.zeros((2,), jnp.int32), size])
+                ewh = jnp.stack([eh, ew])
+                cam_small = dynamic_window_resize(
+                    cams.transpose(1, 2, 0), box, (grid, grid), dst_hw=ewh,
+                    align_corners=False,
+                ).transpose(2, 0, 1)
+                cam_small = cam_small * fvalid[None]
 
             return propagate_to_edge(
                 cam_small, edge, radius=radius, beta=beta, exp_times=exp_times,
@@ -236,7 +247,9 @@ class RandomWalkRefiner:
         from muscle_tpu.inference.upload import ycbcr420_unpack_fn
 
         model = self._model_for(crop)
-        core = self._walk_core(crop, model)
+        # fast_io uploads CAMs pre-downsampled to the walk grid (see
+        # _pack_fast — 16x less CAM upload than canvas resolution)
+        core = self._walk_core(crop, model, cams_at_grid=True)
         grid = crop // self.stride
         stride = self.stride
         bg_threshold = self.bg_threshold
@@ -258,9 +271,9 @@ class RandomWalkRefiner:
                 fcols = jnp.clip(size[1] - 1 - jnp.arange(crop), 0, crop - 1)
                 xf = jnp.take(x, fcols, axis=1) * valid
                 pair = jnp.stack([x, xf])
-                # scatter the K labelled channels into the 20-class stack
-                # (pad entries carry idx 20 -> dropped by the slice)
-                cams = jnp.zeros((21, crop, crop), jnp.float32)
+                # scatter the K labelled grid-res channels into the
+                # 20-class stack (pad entries carry idx 20 -> dropped)
+                cams = jnp.zeros((21, grid, grid), jnp.float32)
                 cams = cams.at[idx].add(vals.astype(jnp.float32))[:20]
                 rw = core(variables, pair, cams, size)
                 if not labels:
@@ -374,11 +387,19 @@ class RandomWalkRefiner:
 
     def _pack_fast(self, crop: int, pil_images, cam_dicts):
         """Host packing for the fast_io device program: YCbCr canvases +
-        K-channel f16 CAM stacks.  Returns the device-program operand tuple
+        K-channel f16 CAM stacks AT THE WALK GRID.  The walk only ever
+        consumes CAMs at the stride-4 grid, so the host does the
+        reference's window downsample (infer_irn.py:76 — PIL F-mode
+        bilinear, same half-pixel semantics as the device resize,
+        tests/test_resize.py) and uploads (k, grid, grid) instead of
+        (k, crop, crop): 16x less CAM traffic.  Returns the operand tuple
         (y, c, transposed, cam_vals, cam_idx, sizes)."""
+        from PIL import Image
+
         from muscle_tpu.data.tta import pack_canvas_ycbcr
 
         b = len(pil_images)
+        grid = crop // self.stride
         # size the class budget to the group's largest CAM dict (k is a
         # per-program shape constant, so a rare 5+-class image only costs
         # one extra compile — never a silently dropped class)
@@ -387,12 +408,17 @@ class RandomWalkRefiner:
         y, c, sizes, transposed = pack_canvas_ycbcr(
             pil_images, names, crop, tight=False
         )
-        cam_vals = np.zeros((b, k, crop, crop), np.float16)
+        cam_vals = np.zeros((b, k, grid, grid), np.float16)
         cam_idx = np.full((b, k), 20, np.int32)  # pad -> dropped channel
         for i, cd in enumerate(cam_dicts):
+            h, w = sizes[i]
+            eh = (h - 1) // self.stride + 1
+            ew = (w - 1) // self.stride + 1
             for j, (cls, v) in enumerate(sorted(cd.items())):
-                h, w = sizes[i]
-                cam_vals[i, j, :h, :w] = np.asarray(v, np.float16)
+                small = Image.fromarray(
+                    np.ascontiguousarray(v, np.float32), "F"
+                ).resize((ew, eh), Image.BILINEAR)
+                cam_vals[i, j, :eh, :ew] = np.asarray(small, np.float16)
                 cam_idx[i, j] = cls
         return y, c, transposed, cam_vals, cam_idx, sizes
 
