@@ -57,6 +57,10 @@ def main(argv=None) -> None:
                    choices=["xla", "native"], type=str)
     p.add_argument("--quick", action="store_true",
                    help="pro-rated quick gate tier (regression canary)")
+    p.add_argument("--quick_budget", default=None, type=float,
+                   help="override the quick tier's wall budget (seconds) — "
+                        "e.g. for rehearsals on loaded hosts where wall "
+                        "time measures contention, not the harness")
     p.add_argument("--gates", default="1,1f,2,2e,3,4,5,6,7,7e,t", type=str)
     p.add_argument("--scales", default="0.5,1.0,1.5,2.0", type=str)
     p.add_argument("--seg_scales", default="0.75,1.0,1.5", type=str)
@@ -103,6 +107,8 @@ def main(argv=None) -> None:
                 gv += [f"--{a}", weights[a]]
         if args.quick:
             gv += ["--quick"]
+        if args.quick_budget is not None:
+            gv += ["--quick_budget", str(args.quick_budget)]
         if args.platform:
             gv += ["--platform", args.platform]
         log(f"stage gates: muscle_tpu.cli.gates {' '.join(gv)}")

@@ -103,7 +103,10 @@ def main() -> int:
           "--irn_weights", f"{base}/irn.pth",
           "--out_dir", run_out,
           "--backbone", "efficientnet-b1", "--seg_backbone", "b1",
-          "--bifpn", "1", "--quick",
+          # the rehearsal proves plumbing; the quick tier's wall budget
+          # measures host contention, not the harness — lift it here (the
+          # quiet-host budget evidence is GATES_r05_quick.json)
+          "--bifpn", "1", "--quick", "--quick_budget", "86400",
           "--scales", "0.5,1.0,1.5,2.0", "--seg_scales", "0.75,1.0,1.5",
           "--platform", "cpu"]
     print(f"[rehearsal] python -m muscle_tpu.cli.real_run {' '.join(rv)}",
