@@ -1047,9 +1047,21 @@ def gate6_convergence(voc_root, names, labels_path, out_dir, steps: int = 300,
 
 
 def _seg_grad_norm_liveness(voc_root, names, labels, mask_dir, checkpoint: str,
-                            crop: int = 64, method: str = "jacrev") -> dict:
+                            crop: int = 64, method: str = "jacrev"):
     """Per-term (CE, BEACON) gradient-norm liveness at the gate-5 trained
-    checkpoint — see _mcl_grad_norm_liveness."""
+    checkpoint — see _mcl_grad_norm_liveness.  Returns (norms, values).
+
+    The probe runs SegConfig(k=8): BEACON only contributes for (image,
+    class) pairs with more than k PREDICTED boundary pixels (the
+    reference's own skip gate, src/edge.py:297-316), and k is a
+    data-engagement knob, not a graph property — the full-size tier's
+    crop-64 windows of 375-500 px blobs rarely cross class boundaries,
+    so the training-config k=32 can leave the term legitimately silent
+    on the probe batch (observed: full-size gate 5, 2026-08-20).  The
+    small-k probe engages the term so the gate judges the GRAPH; the
+    values let the caller exempt a term whose value is exactly zero by
+    its own engagement gate (dead paths have nonzero value + zero grad
+    and are still caught) — the same discipline as dryrun_multichip."""
     import jax
     import jax.numpy as jnp
     from PIL import Image
@@ -1090,7 +1102,8 @@ def _seg_grad_norm_liveness(voc_root, names, labels, mask_dir, checkpoint: str,
         "mask": np.stack(masks).astype(np.float32),
     }
     return seg_term_grad_norms(
-        model, state, batch, jax.random.key(1), SegConfig(k=32), method=method
+        model, state, batch, jax.random.key(1), SegConfig(k=8), method=method,
+        return_values=True,
     )
 
 
@@ -1166,7 +1179,7 @@ def gate5_train_muscle(voc_root, names, labels_path, out_dir, steps: int = 100,
     loss_last = float(np.median(losses[-10:]))
     decreased = loss_last <= (1.0 - min_decrease) * loss_first
     finite = all(np.isfinite(v) for r in rows for k, v in r.items() if k != "step")
-    grad_norms = _seg_grad_norm_liveness(
+    grad_norms, grad_values = _seg_grad_norm_liveness(
         voc_root, names, np.load(labels_path, allow_pickle=True).item(),
         mask_dir, os.path.join(session, "model_0.msgpack"), crop=crop,
         method="jvp" if quick else "jacrev",
@@ -1174,6 +1187,14 @@ def gate5_train_muscle(voc_root, names, labels_path, out_dir, steps: int = 100,
     # quick: beacon liveness reported, not asserted (see docstring)
     beacon_engaged = any(abs(r.get("loss_beacon", 0.0)) > 1e-9 for r in rows)
     required = {"seg"} if quick else set(grad_norms)
+    # a term whose probe VALUE is exactly zero is not engaged on this
+    # data by its own count>k gate (the reference skips it identically);
+    # exempt it LOUDLY — dead paths carry nonzero value + zero grad and
+    # still fail (see _seg_grad_norm_liveness)
+    probe_not_engaged = sorted(
+        k for k in required if grad_values.get(k, 1.0) == 0.0 and grad_norms[k] == 0.0
+    )
+    required -= set(probe_not_engaged)
     live_floor = 1e-12 if quick else 1e-7  # jvp: any nonzero = live
     grads_live = all(
         np.isfinite(grad_norms[k]) and grad_norms[k] > live_floor for k in required
@@ -1190,6 +1211,7 @@ def gate5_train_muscle(voc_root, names, labels_path, out_dir, steps: int = 100,
         "grad_norms": {k: float(f"{v:.3e}") for k, v in grad_norms.items()},
         "grads_live": bool(grads_live),
         "beacon_engaged": bool(beacon_engaged),
+        "probe_not_engaged": probe_not_engaged,
         "checkpoint": os.path.exists(os.path.join(session, "model_0.msgpack")),
         "quick": bool(quick),
         "passed": bool(
