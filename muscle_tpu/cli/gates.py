@@ -222,7 +222,7 @@ def main(argv=None) -> None:
     if "6" in want:
         emit(G.gate6_convergence(voc_root, names, labels_path, args.out_dir,
                                  steps=steps6, crop=min(crop, 64),
-                                 quick=args.quick))
+                                 quick=args.quick, fullsize=args.full_size))
 
     if "t" in want:
         # '_trained' rows: the gate-6 checkpoints (THIS framework's training)
